@@ -1,0 +1,104 @@
+"""Declarative run configuration.
+
+Replaces the reference's two-tier config (compile-time lattice dims via CMake
+`configure_file`, CMakeLists.txt:17-20 / include/config.h.in, plus interactive
+stdin prompts bcast to all ranks, src/main.cpp:30-69). Here everything is a
+runtime dataclass; lattice dims are ordinary array shapes, no rebuild per size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _complex_of(real_dtype) -> jnp.dtype:
+    return jnp.dtype(jnp.complex128) if jnp.dtype(real_dtype) == jnp.float64 else jnp.dtype(jnp.complex64)
+
+
+@dataclasses.dataclass(frozen=True)
+class LatticeParams:
+    """Lattice geometry and precision policy.
+
+    Axis convention follows the reference (src/dirac_operator.cpp:5-21):
+    site n = (x, t); mu=0 is the *time* direction (t -> t+1), mu=1 is the
+    *space* direction (x -> x+1). Fields are arrays [..., 2, Nx, Nt] with the
+    direction/spin axis third-from-last, x second-from-last, t last.
+    """
+
+    Nx: int = 64
+    Nt: int = 64
+    # Real dtype of angles/momenta; complex fields use the paired complex dtype.
+    # float64 needs jax.config.update("jax_enable_x64", True) (CPU validation);
+    # float32 is the TPU-native default.
+    real_dtype: str = "float32"
+
+    @property
+    def volume(self) -> int:
+        return self.Nx * self.Nt
+
+    @property
+    def rdtype(self):
+        return jnp.dtype(self.real_dtype)
+
+    @property
+    def cdtype(self):
+        return _complex_of(self.rdtype)
+
+    @property
+    def kappa(self) -> float:
+        raise AttributeError("kappa depends on m0; use HMCParams.kappa")
+
+
+@dataclasses.dataclass(frozen=True)
+class CGParams:
+    """Conjugate-gradient solver knobs.
+
+    Reference defaults: max_iter=10000, relative tol=1e-10
+    (src/main.cpp:26-27, src/conjugate_gradient.cpp:45 uses
+    ||r|| < tol * ||phi||).
+    """
+
+    tol: float = 1e-10
+    max_iter: int = 10000
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCParams:
+    """Physics + molecular-dynamics parameters (reference src/main.cpp:30-58)."""
+
+    beta: float = 4.0
+    m0: float = 0.2
+    md_steps: int = 10          # MD_steps (leapfrog structure hmc.cpp:63-103)
+    trajectory_length: float = 0.1
+    cg: CGParams = dataclasses.field(default_factory=CGParams)
+    # Skip the redundant CG solve in H_old: phi = D chi implies
+    # phi^+ (DD^+)^-1 phi == |chi|^2 exactly, so the old Hamiltonian's fermion
+    # action needs no solver (the reference recomputes it with a full CG,
+    # hmc.cpp:105-133 called twice at hmc.cpp:162).
+    exact_initial_fermion_action: bool = True
+
+    @property
+    def kappa(self) -> float:
+        return 1.0 / (2.0 * (self.m0 + 2.0))
+
+    @property
+    def step_size(self) -> float:
+        return self.trajectory_length / float(self.md_steps)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunParams:
+    """Outer Monte-Carlo loop parameters (reference src/main.cpp:49-58)."""
+
+    n_therm: int = 100
+    n_meas: int = 100
+    n_steps: int = 0            # decorrelation sweeps between measurements
+    save_conf: bool = False
+    n_chains: int = 1           # vmapped independent chains (new capability)
+    seed: int = 0
+    out_dir: str = "."
+    # Optional mesh shape (ranks_x, ranks_t) for lattice sharding; None = single device.
+    mesh_shape: Optional[Tuple[int, int]] = None

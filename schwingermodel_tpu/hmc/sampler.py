@@ -1,0 +1,90 @@
+"""One HMC trajectory: momentum/noise refresh, MD evolution, Metropolis.
+
+Reference: HMC::HMC_Update, src/hmc.cpp:151-181. Differences by design:
+
+  - RNG: threefry subkeys instead of four ad-hoc C RNG streams; the
+    Metropolis uniform is derived from the (replicated) trajectory key, so
+    all shards of an SPMD program draw the same number without the explicit
+    MPI_Bcast the reference needs (src/hmc.cpp:166-169).
+  - H_old: the reference evaluates the old Hamiltonian with a full CG solve
+    (hmc.cpp:162 calling Action, :105-133). Since Phi = D chi, the old
+    fermion action is Phi^+(DD^+)^{-1}Phi = |chi|^2 *exactly*, so with
+    `exact_initial_fermion_action` (default) we skip that solve -- one fewer
+    CG per trajectory, and H_old is exact rather than tol-limited.
+  - CG failure: instead of writing an "illConf" file from inside the update
+    (hmc.cpp:48-56, impossible and undesirable under jit), the trajectory
+    reports `all_converged` in its stats; the driver dumps the configuration
+    on the host side.
+
+The whole function is jit-compatible and vmaps over leading chain axes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from schwingermodel_tpu.hmc.integrators import leapfrog
+from schwingermodel_tpu.models.schwinger import SchwingerModel, SolveStats
+from schwingermodel_tpu.utils import prng
+
+
+class TrajectoryStats(NamedTuple):
+    accepted: jax.Array       # bool
+    delta_H: jax.Array        # H' - H
+    exp_mdH: jax.Array        # exp(-dH), for <exp(-dH)>=1 diagnostics
+    cg_iters: jax.Array       # total CG iterations this trajectory
+    cg_converged: jax.Array   # bool: all solves converged
+
+
+def hmc_trajectory(model: SchwingerModel, theta: jax.Array,
+                   key: jax.Array) -> Tuple[jax.Array, TrajectoryStats]:
+    """Evolve one trajectory from `theta` and accept/reject.
+
+    Returns (theta_next, stats).
+    """
+    rdtype = model.lattice.rdtype
+    k_pi, k_chi, k_acc = prng.split_fields(key, 3)
+
+    pi = prng.normal_real(k_pi, theta.shape, rdtype)
+    chi = prng.normal_complex(k_chi, theta.shape, rdtype)
+    phi = model.pseudofermion(theta, chi)          # Phi = D chi (hmc.cpp:159)
+
+    stats = SolveStats.zero()
+
+    # --- old Hamiltonian ---
+    kin_old = model.kinetic(pi)
+    sg_old = model.gauge_action(theta)
+    if model.hmc.exact_initial_fermion_action:
+        sf_old = model.geom.gsum(
+            jnp.sum(jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=-3)
+        )
+    else:
+        sf_old, stats = model.fermion_action(theta, phi, stats)
+    H_old = kin_old + sg_old + sf_old
+
+    # --- MD evolution ---
+    theta_new, pi_new, stats = leapfrog(model, theta, pi, phi)
+
+    # --- new Hamiltonian ---
+    sf_new, stats = model.fermion_action(theta_new, phi, stats)
+    H_new = model.kinetic(pi_new) + model.gauge_action(theta_new) + sf_new
+
+    dH = H_new - H_old
+    r = prng.uniform_scalar(k_acc, dtype=dH.dtype)
+    accept = r <= jnp.exp(-dH)                      # hmc.cpp:171
+
+    theta_next = jnp.where(accept, theta_new, theta)
+    # keep angles bounded over long runs (exact gauge-field periodicity;
+    # cheap, and prevents f32 angle magnitude growth over 1e5 trajectories)
+    theta_next = jnp.mod(theta_next + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    return theta_next, TrajectoryStats(
+        accepted=accept,
+        delta_H=dH,
+        exp_mdH=jnp.exp(-dH),
+        cg_iters=stats.iters,
+        cg_converged=stats.all_converged,
+    )

@@ -1,0 +1,146 @@
+"""The two-flavor Schwinger model: actions, forces, Hamiltonian.
+
+Bundles the gauge and fermion sectors behind a functional API used by the
+HMC engine. Everything is pure-array in / pure-array out, so the same model
+object works under jit, vmap (chains), and shard_map (lattice sharding) --
+the only state is static configuration plus a Geometry.
+
+Reference mapping:
+  - fermion force     : HMC::Force,  src/hmc.cpp:44-60
+  - gauge force       : HMC::Force_G, src/hmc.cpp:32-39
+  - action            : HMC::Action, src/hmc.cpp:105-133
+  - hamiltonian       : HMC::Hamiltonian, src/hmc.cpp:135-149
+  - pseudofermion     : Phi = D chi, src/hmc.cpp:159-160
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from schwingermodel_tpu.config import HMCParams, LatticeParams
+from schwingermodel_tpu.ops import dirac as dops
+from schwingermodel_tpu.ops import gauge as gops
+from schwingermodel_tpu.ops.geometry import Geometry
+from schwingermodel_tpu.solvers.cg import CGResult, cg_solve
+
+
+class SolveStats(NamedTuple):
+    """Per-solve diagnostics, accumulated over a trajectory."""
+
+    iters: jax.Array       # total CG iterations
+    n_solves: jax.Array    # number of CG solves
+    all_converged: jax.Array  # bool: every solve hit tolerance
+
+    @staticmethod
+    def zero():
+        return SolveStats(jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+
+    def merge(self, res: CGResult) -> "SolveStats":
+        return SolveStats(
+            iters=self.iters + res.iters,
+            n_solves=self.n_solves + 1,
+            all_converged=jnp.logical_and(self.all_converged, res.converged),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SchwingerModel:
+    lattice: LatticeParams
+    hmc: HMCParams
+    geom: Geometry = dataclasses.field(default_factory=Geometry)
+
+    # ---------- fields ----------
+
+    def links(self, theta: jax.Array) -> jax.Array:
+        return gops.links(theta, self.lattice.cdtype)
+
+    def sign_mask(self, theta: jax.Array) -> jax.Array:
+        """Antiperiodic-time sign mask for this (possibly local) block."""
+        return dops.make_sign_mask(
+            self.geom, theta.shape[-2], theta.shape[-1], self.lattice.Nt,
+            self.lattice.rdtype,
+        )
+
+    def fermion_links(self, theta: jax.Array) -> jax.Array:
+        U = self.links(theta)
+        return dops.fermion_links(U, self.sign_mask(theta))
+
+    # ---------- operators ----------
+
+    def D(self, theta: jax.Array, phi: jax.Array) -> jax.Array:
+        return dops.dirac(self.geom, self.fermion_links(theta), phi, self.hmc.m0)
+
+    def Ddag(self, theta: jax.Array, phi: jax.Array) -> jax.Array:
+        return dops.dirac_dagger(self.geom, self.fermion_links(theta), phi, self.hmc.m0)
+
+    def DDdag(self, theta: jax.Array, phi: jax.Array) -> jax.Array:
+        return dops.dirac_normal(self.geom, self.fermion_links(theta), phi, self.hmc.m0)
+
+    def pseudofermion(self, theta: jax.Array, chi: jax.Array) -> jax.Array:
+        """Phi = D chi (reference src/hmc.cpp:159-160)."""
+        return self.D(theta, chi)
+
+    def _dot_re(self, x, y):
+        return jnp.real(dops.spinor_dot(self.geom, x, y))
+
+    def solve_normal(self, theta: jax.Array, b: jax.Array) -> CGResult:
+        """psi = (DD^+)^{-1} b via CG; fermion links hoisted out of the loop."""
+        Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
+        m0 = self.hmc.m0
+
+        def apply_A(v):
+            return dops.dirac_normal(self.geom, Uf, v, m0)
+
+        return cg_solve(
+            apply_A, b, self._dot_re,
+            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+        )
+
+    # ---------- forces ----------
+
+    def force(self, theta: jax.Array, phi: jax.Array, stats: SolveStats):
+        """Total MD force F_mu(n) = fermion + gauge (reference HMC::Force +
+        Force_G, src/hmc.cpp:32-60). Returns (F, stats)."""
+        U = self.links(theta)
+        Uf = dops.fermion_links(U, self.sign_mask(theta))
+        m0 = self.hmc.m0
+
+        res = cg_solve(
+            lambda v: dops.dirac_normal(self.geom, Uf, v, m0),
+            phi, self._dot_re,
+            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+        )
+        psi = res.x                                     # (DD^+)^{-1} Phi
+        chi_p = dops.dirac_dagger(self.geom, Uf, psi, m0)   # D^+ psi
+        F = dops.fermion_force(self.geom, Uf, psi, chi_p)
+        F = F + gops.gauge_force(self.geom, U, self.hmc.beta)
+        return F, stats.merge(res)
+
+    # ---------- energies ----------
+
+    def gauge_action(self, theta: jax.Array) -> jax.Array:
+        return gops.gauge_action(self.geom, self.links(theta), self.hmc.beta)
+
+    def fermion_action(self, theta: jax.Array, phi: jax.Array, stats: SolveStats):
+        """S_f = Re <Phi, (DD^+)^{-1} Phi> (reference HMC::Action fermion
+        part, src/hmc.cpp:115-117)."""
+        res = self.solve_normal(theta, phi)
+        return self._dot_re(phi, res.x), stats.merge(res)
+
+    def kinetic(self, pi: jax.Array) -> jax.Array:
+        """0.5 sum pi^2 (reference HMC::Hamiltonian, src/hmc.cpp:138-144)."""
+        return 0.5 * self.geom.gsum(jnp.sum(pi * pi, axis=-3))
+
+    def hamiltonian(self, theta: jax.Array, pi: jax.Array, phi: jax.Array,
+                    stats: SolveStats):
+        sf, stats = self.fermion_action(theta, phi, stats)
+        return self.kinetic(pi) + self.gauge_action(theta) + sf, stats
+
+    # ---------- observables ----------
+
+    def plaquette_sum(self, theta: jax.Array) -> jax.Array:
+        return gops.plaquette_sum(self.geom, self.links(theta))

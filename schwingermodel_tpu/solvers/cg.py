@@ -1,0 +1,83 @@
+"""Conjugate gradient for hermitian positive-definite operators (DD^+).
+
+Re-design of the reference src/conjugate_gradient.cpp:4-66 for the XLA
+compilation model: the iteration is a `lax.while_loop` (traceable, jittable,
+vmappable -- under vmap, JAX automatically freezes converged lanes while
+others continue, replacing the reference's scalar early-exit at
+conjugate_gradient.cpp:45-49 which does not vectorize), and all inner
+products go through the geometry reduction so the same solver runs on one
+device or psum-reduced across a mesh (the reference's MPI_Allreduce'd dot(),
+include/variables.h:181-192).
+
+Semantics matched to the reference:
+  - initial guess x0 = b (conjugate_gradient.cpp:16)
+  - relative convergence criterion ||r|| < tol * ||b|| (:45)
+  - plain (unpreconditioned) CG on the normal operator; alpha/beta from
+    the standard rho ratios (:31-63)
+  - returns a convergence flag instead of aborting (:48, :66); the caller
+    decides what to do (the reference dumps an "illConf" gauge config,
+    src/hmc.cpp:48-56 -- see the driver).
+
+The operator is passed as a closure so the same solver serves the plain
+normal operator and the even-odd preconditioned system.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class CGResult(NamedTuple):
+    x: jax.Array            # solution
+    iters: jax.Array        # iterations taken (int32)
+    converged: jax.Array    # bool
+    rel_residual: jax.Array # ||r|| / ||b|| at exit
+
+
+def cg_solve(
+    apply_A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    dot_re: Callable[[jax.Array, jax.Array], jax.Array],
+    *,
+    x0: jax.Array | None = None,
+    tol: float = 1e-10,
+    max_iter: int = 10000,
+) -> CGResult:
+    """Solve A x = b for hermitian positive-definite A.
+
+    dot_re(x, y) must return Re<x, y> summed over the *global* lattice
+    (a geometry-aware reduction). For hermitian A all CG scalars are real,
+    so we keep them real (the reference carries complex alpha/beta whose
+    imaginary parts are rounding noise, conjugate_gradient.cpp:14).
+    """
+    if x0 is None:
+        x0 = b
+    b_norm2 = dot_re(b, b)
+    # tolerance on ||r||^2: ||r|| < tol * ||b||  <=>  rho < tol^2 * ||b||^2
+    stop2 = (tol * tol) * b_norm2
+
+    r0 = b - apply_A(x0)
+    rho0 = dot_re(r0, r0)
+
+    def cond(carry):
+        _, _, _, rho, k = carry
+        return jnp.logical_and(rho >= stop2, k < max_iter)
+
+    def body(carry):
+        x, r, d, rho, k = carry
+        Ad = apply_A(d)
+        alpha = rho / dot_re(d, Ad)
+        x = x + alpha.astype(x.dtype) * d
+        r = r - alpha.astype(r.dtype) * Ad
+        rho_new = dot_re(r, r)
+        beta = rho_new / rho
+        d = r + beta.astype(d.dtype) * d
+        return (x, r, d, rho_new, k + 1)
+
+    x, r, d, rho, k = lax.while_loop(cond, body, (x0, r0, r0, rho0, jnp.int32(0)))
+    rel = jnp.sqrt(rho) * lax.rsqrt(jnp.maximum(b_norm2, jnp.finfo(rho.dtype).tiny))
+    return CGResult(x=x, iters=k, converged=rho < stop2, rel_residual=rel)

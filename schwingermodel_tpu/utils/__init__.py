@@ -1,0 +1,3 @@
+from schwingermodel_tpu.utils import prng
+
+__all__ = ["prng"]
