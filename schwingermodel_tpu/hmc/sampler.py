@@ -16,7 +16,20 @@ Reference: HMC::HMC_Update, src/hmc.cpp:151-181. Differences by design:
     reports `all_converged` in its stats; the driver dumps the configuration
     on the host side.
 
-The whole function is jit-compatible and vmaps over leading chain axes.
+The trajectory is split in two layers:
+
+  trajectory_given_noise(model, theta, pi, chi, r)
+      the deterministic physics given pre-drawn noise fields. This is the
+      function that runs *inside* shard_map on a device mesh (see
+      schwingermodel_tpu.parallel.sharded) -- noise is drawn outside with
+      the global key, so the sharded and single-device paths are
+      bit-identical by construction.
+
+  hmc_trajectory(model, theta, key)
+      single-device convenience wrapper: splits the key, draws the fields,
+      calls trajectory_given_noise.
+
+Both are jit-compatible and vmap over leading chain axes.
 """
 
 from __future__ import annotations
@@ -39,17 +52,28 @@ class TrajectoryStats(NamedTuple):
     cg_converged: jax.Array   # bool: all solves converged
 
 
-def hmc_trajectory(model: SchwingerModel, theta: jax.Array,
-                   key: jax.Array) -> Tuple[jax.Array, TrajectoryStats]:
-    """Evolve one trajectory from `theta` and accept/reject.
+def draw_noise(model: SchwingerModel, shape, key: jax.Array):
+    """Draw (pi, chi, r) for one trajectory from a trajectory key.
 
-    Returns (theta_next, stats).
+    shape is theta.shape; returns momentum field pi ~ N(0,1), pseudofermion
+    noise chi ~ complex N(0, 1/sqrt(2)) per component, Metropolis uniform r.
     """
     rdtype = model.lattice.rdtype
     k_pi, k_chi, k_acc = prng.split_fields(key, 3)
+    pi = prng.normal_real(k_pi, shape, rdtype)
+    chi = prng.normal_complex(k_chi, shape, rdtype)
+    r = prng.uniform_scalar(k_acc, dtype=rdtype)
+    return pi, chi, r
 
-    pi = prng.normal_real(k_pi, theta.shape, rdtype)
-    chi = prng.normal_complex(k_chi, theta.shape, rdtype)
+
+def trajectory_given_noise(
+    model: SchwingerModel,
+    theta: jax.Array,
+    pi: jax.Array,
+    chi: jax.Array,
+    r: jax.Array,
+) -> Tuple[jax.Array, TrajectoryStats]:
+    """Deterministic HMC update given pre-drawn noise. Returns (theta', stats)."""
     phi = model.pseudofermion(theta, chi)          # Phi = D chi (hmc.cpp:159)
 
     stats = SolveStats.zero()
@@ -73,7 +97,6 @@ def hmc_trajectory(model: SchwingerModel, theta: jax.Array,
     H_new = model.kinetic(pi_new) + model.gauge_action(theta_new) + sf_new
 
     dH = H_new - H_old
-    r = prng.uniform_scalar(k_acc, dtype=dH.dtype)
     accept = r <= jnp.exp(-dH)                      # hmc.cpp:171
 
     theta_next = jnp.where(accept, theta_new, theta)
@@ -88,3 +111,13 @@ def hmc_trajectory(model: SchwingerModel, theta: jax.Array,
         cg_iters=stats.iters,
         cg_converged=stats.all_converged,
     )
+
+
+def hmc_trajectory(model: SchwingerModel, theta: jax.Array,
+                   key: jax.Array) -> Tuple[jax.Array, TrajectoryStats]:
+    """Evolve one trajectory from `theta` and accept/reject.
+
+    Returns (theta_next, stats).
+    """
+    pi, chi, r = draw_noise(model, theta.shape, key)
+    return trajectory_given_noise(model, theta, pi, chi, r)

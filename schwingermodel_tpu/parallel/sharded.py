@@ -1,0 +1,92 @@
+"""shard_map execution of the HMC trajectory over a 2D device mesh.
+
+This is the TPU-native counterpart of running the reference under
+`mpirun -n ranks_x*ranks_t` (run.sh:37): the same trajectory math from
+schwingermodel_tpu.hmc.sampler runs inside `shard_map` with a
+ShardedGeometry, so every shift performs a lax.ppermute halo exchange
+(replacing the 8 blocking MPI_Send/Recv per Dirac apply,
+src/dirac_operator.cpp:66-88) and every global reduction is a lax.psum
+(replacing MPI_Allreduce, include/variables.h:190).
+
+Determinism contract: the noise fields (pi, chi) and the Metropolis uniform
+are drawn *outside* shard_map from the global trajectory key, then sharded
+by GSPMD like any other jit intermediate. Sharded and single-device
+execution therefore consume identical random fields and agree bit-for-bit
+in the same dtype (test: tests/test_sharded.py). The reference needs an
+explicit MPI_Bcast to keep the accept decision coherent (src/hmc.cpp:166-169)
+and has rank-dependent field RNG; here coherence is structural.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from schwingermodel_tpu.hmc import sampler
+from schwingermodel_tpu.models.schwinger import SchwingerModel
+from schwingermodel_tpu.ops.geometry import ShardedGeometry
+from schwingermodel_tpu.parallel.mesh import T_AXIS_NAME, X_AXIS_NAME
+
+
+def theta_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of field arrays [..., mu/spin, x, t]: lattice axes on the mesh."""
+    return NamedSharding(mesh, P(None, X_AXIS_NAME, T_AXIS_NAME))
+
+
+def sharded_model(model: SchwingerModel) -> SchwingerModel:
+    """The same model with a ppermute/psum geometry (for use inside shard_map)."""
+    return dataclasses.replace(
+        model, geom=ShardedGeometry(x_name=X_AXIS_NAME, t_name=T_AXIS_NAME)
+    )
+
+
+def make_sharded_step(
+    model: SchwingerModel, mesh: Mesh
+) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, sampler.TrajectoryStats]]:
+    """Build a jit-compiled sharded HMC step: (theta, key) -> (theta', stats).
+
+    theta is the *global* [2, Nx, Nt] angle field (sharded or not; the
+    returned function constrains it to the lattice sharding).
+    """
+    inner_model = sharded_model(model)
+    field_spec = P(None, X_AXIS_NAME, T_AXIS_NAME)
+
+    traj = jax.shard_map(
+        partial(sampler.trajectory_given_noise, inner_model),
+        mesh=mesh,
+        in_specs=(field_spec, field_spec, field_spec, P()),
+        out_specs=(field_spec, P()),
+        check_vma=False,
+    )
+
+    sharding = theta_sharding(mesh)
+
+    @jax.jit
+    def step(theta: jax.Array, key: jax.Array):
+        theta = jax.lax.with_sharding_constraint(theta, sharding)
+        pi, chi, r = sampler.draw_noise(model, theta.shape, key)
+        return traj(theta, pi, chi, r)
+
+    return step
+
+
+def make_sharded_observables(model: SchwingerModel, mesh: Mesh):
+    """jit-compiled sharded measurement: theta -> dict of scalar observables."""
+    inner_model = sharded_model(model)
+    field_spec = P(None, X_AXIS_NAME, T_AXIS_NAME)
+
+    def _measure(theta):
+        return {
+            "plaquette_sum": inner_model.plaquette_sum(theta),
+            "gauge_action": inner_model.gauge_action(theta),
+        }
+
+    measure = jax.shard_map(
+        _measure, mesh=mesh, in_specs=(field_spec,), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(measure)
