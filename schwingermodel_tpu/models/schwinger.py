@@ -90,6 +90,11 @@ class SchwingerModel:
     def solve_normal(self, theta: jax.Array, b: jax.Array) -> CGResult:
         """psi = (DD^+)^{-1} b via CG; fermion links hoisted out of the loop."""
         Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
+        return self.solve_normal_given_links(Uf, b)
+
+    def solve_normal_given_links(self, Uf: jax.Array, b: jax.Array) -> CGResult:
+        """As solve_normal but with prefolded fermion links (repeated solves
+        on one configuration, e.g. stochastic condensate estimation)."""
         m0 = self.hmc.m0
 
         def apply_A(v):

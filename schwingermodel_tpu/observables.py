@@ -1,0 +1,110 @@
+"""Physics observables measured on gauge configurations.
+
+The reference measures only the plaquette sum and gauge action
+(MeasureSp_HMC / Compute_gaugeAction, src/gauge_conf.cpp:427-449, accumulated
+at src/hmc.cpp:196-212). This module adds the BASELINE.json north-star
+observable the reference lacks -- the chiral condensate via stochastic trace
+estimation of D^{-1} -- plus the geometric topological charge, both standard
+for the 2D Schwinger model.
+
+All functions are pure and jit/vmap/shard_map-compatible (scalars come out
+psum-reduced under a ShardedGeometry).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from schwingermodel_tpu.models.schwinger import SchwingerModel, SolveStats
+from schwingermodel_tpu.ops import dirac as dops
+from schwingermodel_tpu.ops import gauge as gops
+from schwingermodel_tpu.utils import prng
+
+
+def mean_plaquette(model: SchwingerModel, theta: jax.Array) -> jax.Array:
+    """Ep = (1/V) sum_n Re P_01(n) (reference divides the accumulated sum by
+    Ntot at src/hmc.cpp:213)."""
+    return model.plaquette_sum(theta) / model.lattice.volume
+
+
+def gauge_action_density(model: SchwingerModel, theta: jax.Array) -> jax.Array:
+    """gS = S_g / V (reference src/hmc.cpp:214)."""
+    return model.gauge_action(theta) / model.lattice.volume
+
+
+def topological_charge(model: SchwingerModel, theta: jax.Array) -> jax.Array:
+    """Geometric (integer-valued) charge Q = (1/2pi) sum_n arg P_01(n).
+
+    Exact integer on any configuration because the plaquette angles are the
+    field strength mod 2pi; new capability, not in the reference.
+    """
+    P = gops.plaquette_field(model.geom, model.links(theta))
+    return model.geom.gsum(jnp.angle(P)) / (2.0 * jnp.pi)
+
+
+class CondensateResult(NamedTuple):
+    value: jax.Array        # stochastic estimate of <psibar psi> per flavor
+    solves: SolveStats      # CG diagnostics
+
+
+def chiral_condensate(
+    model: SchwingerModel,
+    theta: jax.Array,
+    key: jax.Array,
+    n_noise: int = 8,
+) -> CondensateResult:
+    """<psibar psi> = (1/V) Tr D^{-1} per flavor, by Z2 stochastic estimation.
+
+    Tr D^{-1} = E_z[ z^+ D^{-1} z ] with E[z z^+] = I. Each noise vector
+    needs one CG solve of the normal system: D^{-1} z = D^+ (DD^+)^{-1} z.
+    Noise vectors are batched through lax.map to keep compile size constant.
+    (Extension beyond the reference; BASELINE.json names the condensate as a
+    validation observable but the reference never measures it --
+    SURVEY.md section 5.)
+    """
+    Uf = model.fermion_links(theta)
+    m0 = model.hmc.m0
+
+    def one(k):
+        # Z2 x Z2 complex noise: entries (+-1 +- i)/sqrt(2), E[z z^+] = I
+        z = prng.z2_complex(k, theta.shape, model.lattice.rdtype)
+        res = model.solve_normal_given_links(Uf, z)
+        w = dops.dirac_dagger(model.geom, Uf, res.x, m0)   # D^{-1} z
+        est = dops.spinor_dot(model.geom, z, w)
+        return jnp.real(est), res.iters, res.converged
+
+    keys = jax.random.split(key, n_noise)
+    ests, iters, convs = jax.lax.map(one, keys)
+    stats = SolveStats(
+        iters=jnp.sum(iters),
+        n_solves=jnp.int32(n_noise),
+        all_converged=jnp.all(convs),
+    )
+    return CondensateResult(
+        value=jnp.mean(ests) / model.lattice.volume, solves=stats
+    )
+
+
+def measure_all(
+    model: SchwingerModel,
+    theta: jax.Array,
+    key: jax.Array | None = None,
+    *,
+    with_condensate: bool = False,
+    n_noise: int = 8,
+) -> dict:
+    """One measurement sweep -> dict of scalar observables."""
+    out = {
+        "plaquette": mean_plaquette(model, theta),
+        "gauge_action_density": gauge_action_density(model, theta),
+        "top_charge": topological_charge(model, theta),
+    }
+    if with_condensate:
+        assert key is not None, "condensate needs a PRNG key"
+        res = chiral_condensate(model, theta, key, n_noise=n_noise)
+        out["chiral_condensate"] = res.value
+        out["condensate_cg_converged"] = res.solves.all_converged
+    return out

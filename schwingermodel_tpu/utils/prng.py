@@ -50,3 +50,14 @@ def normal_complex(key: jax.Array, shape, rdtype) -> jax.Array:
 def uniform_scalar(key: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Metropolis draw r in [0,1) (reference rand_range(0,1), statistics.h:20-24)."""
     return jax.random.uniform(key, (), dtype=dtype)
+
+
+def z2_complex(key: jax.Array, shape, rdtype) -> jax.Array:
+    """Complex Z2xZ2 noise: entries (+-1 +- i)/sqrt(2), so E[z z^+] = I.
+
+    Standard variance-minimal noise for stochastic trace estimation
+    (chiral condensate); not present in the reference.
+    """
+    bits = jax.random.bernoulli(key, 0.5, (2,) + tuple(shape))
+    s = jnp.where(bits, 1.0, -1.0).astype(rdtype)
+    return jax.lax.complex(s[0], s[1]) * jnp.asarray(2.0 ** -0.5, dtype=rdtype)

@@ -1,0 +1,114 @@
+"""Observables and statistics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from schwingermodel_tpu import observables as obs
+from schwingermodel_tpu.config import CGParams, HMCParams, LatticeParams
+from schwingermodel_tpu.models.schwinger import SchwingerModel
+from schwingermodel_tpu.utils import statistics as stats
+
+from tests.conftest import random_theta
+
+
+def _model(Nx=8, Nt=8, m0=0.3, beta=2.0, tol=1e-12):
+    return SchwingerModel(
+        lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float64"),
+        hmc=HMCParams(beta=beta, m0=m0, cg=CGParams(tol=tol, max_iter=20000)),
+    )
+
+
+def free_condensate_exact(Nx, Nt, m0):
+    """(1/V) Tr D^{-1} for the free Wilson operator: momentum-space sum.
+
+    D(p) = (m0 + 2 - cos p1 - cos p0') + i(g0 sin p0' + g1 sin p1) in the
+    2D Euclidean gamma basis, with antiperiodic p0' = (2k+1)pi/Nt and
+    periodic p1 = 2k pi/Nx. Tr_spin D^{-1}(p) = 2M / (M^2 + sin^2 p0' +
+    sin^2 p1) with M = m0 + 2 - cos p0' - cos p1.
+    """
+    total = 0.0
+    for k0 in range(Nt):
+        p0 = (2 * k0 + 1) * np.pi / Nt
+        for k1 in range(Nx):
+            p1 = 2 * k1 * np.pi / Nx
+            M = m0 + 2.0 - np.cos(p0) - np.cos(p1)
+            total += 2.0 * M / (M * M + np.sin(p0) ** 2 + np.sin(p1) ** 2)
+    return total / (Nx * Nt)
+
+
+def test_condensate_free_field_matches_momentum_sum():
+    """Stochastic Tr D^{-1}/V on a cold config vs the exact momentum sum.
+
+    Z2 noise variance is O(1/sqrt(n_noise)); use enough vectors and a loose
+    gate. This validates the whole chain: CG solve of DD^+, multiplication
+    by D^+, the trace estimator, and the antiperiodic boundary."""
+    Nx = Nt = 8
+    m0 = 0.5
+    model = _model(Nx, Nt, m0=m0)
+    theta = jnp.zeros((2, Nx, Nt), dtype=jnp.float64)
+    res = obs.chiral_condensate(model, theta, jax.random.PRNGKey(0), n_noise=64)
+    exact = free_condensate_exact(Nx, Nt, m0)
+    assert bool(res.solves.all_converged)
+    np.testing.assert_allclose(float(res.value), exact, rtol=0.05)
+
+
+def test_topological_charge_integer(rng):
+    model = _model()
+    theta = jnp.asarray(random_theta(rng, 8, 8))
+    q = float(obs.topological_charge(model, theta))
+    assert abs(q - round(q)) < 1e-10
+
+
+def test_topological_charge_cold_is_zero():
+    model = _model()
+    theta = jnp.zeros((2, 8, 8), dtype=jnp.float64)
+    assert float(obs.topological_charge(model, theta)) == 0.0
+
+
+def test_measure_all_keys(rng):
+    model = _model()
+    theta = jnp.asarray(random_theta(rng, 8, 8))
+    out = obs.measure_all(model, theta, jax.random.PRNGKey(1),
+                          with_condensate=True, n_noise=2)
+    assert set(out) == {"plaquette", "gauge_action_density", "top_charge",
+                        "chiral_condensate", "condensate_cg_converged"}
+
+
+# ---------------- statistics ----------------
+
+
+def test_jackknife_error_iid_matches_standard_error(rng):
+    """For iid data, binned jackknife error ~ sigma/sqrt(N)."""
+    x = rng.standard_normal(4000)
+    se = x.std(ddof=1) / np.sqrt(len(x))
+    jk = stats.jackknife_error(x, n_bins=20)
+    np.testing.assert_allclose(jk, se, rtol=0.35)
+
+
+def test_jackknife_samples_mean_identity(rng):
+    x = rng.standard_normal(200)
+    s = stats.jackknife_samples(x, 20)
+    np.testing.assert_allclose(s.mean(), x.mean(), rtol=1e-12)
+
+
+def test_jackknife_constant_chain():
+    assert stats.jackknife_error(np.full(100, 3.7), 20) < 1e-12
+
+
+def test_autocorrelation_time_iid(rng):
+    x = rng.standard_normal(8000)
+    tau = stats.autocorrelation_time(x)
+    assert 0.3 < tau < 1.0
+
+
+def test_autocorrelation_time_ar1(rng):
+    """AR(1) with rho=0.9 has tau_int = (1+rho)/(2(1-rho)) = 9.5."""
+    n, rho = 200000, 0.9
+    e = rng.standard_normal(n)
+    x = np.empty(n)
+    x[0] = e[0]
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + e[i]
+    tau = stats.autocorrelation_time(x)
+    np.testing.assert_allclose(tau, 9.5, rtol=0.2)
