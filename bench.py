@@ -21,6 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from schwingermodel_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from schwingermodel_tpu.config import CGParams, HMCParams, LatticeParams
 from schwingermodel_tpu.hmc.sampler import hmc_trajectory
 from schwingermodel_tpu.models.schwinger import SchwingerModel

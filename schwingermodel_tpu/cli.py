@@ -1,0 +1,240 @@
+"""Command-line driver.
+
+Drop-in workflow replacement for the reference executable (src/main.cpp):
+run with no flags and it prompts for the same 10 parameters in the same
+order on stderr / reads them from stdin, so existing parameter pipes
+(reference run.sh:36-37 `mpirun -n N SM_NxxNt < parameters`) work verbatim:
+
+    python -m schwingermodel_tpu < parameters
+
+ranks_x/ranks_t select the device-mesh shape (the reference's MPI rank
+grid); on a single chip use 1 1. Lattice dims are runtime flags (--nx/--nt)
+instead of the reference's compile-time CMake constants (CMakeLists.txt:17-18)
+-- no rebuild per size. Everything else (chains, quenched mode, condensate
+measurement, checkpoint/resume, cold start, dtype) is new capability exposed
+as optional flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _prompt(question: str, cast, interactive: bool):
+    """Reference-style parameter input: prompt on stderr, value from stdin
+    (src/main.cpp:30-58)."""
+    if interactive:
+        print(question, file=sys.stderr)
+    line = sys.stdin.readline()
+    if not line:
+        raise SystemExit(f"missing input for: {question}")
+    return cast(line.split()[0])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m schwingermodel_tpu",
+        description="TPU-native HMC for the two-flavor Schwinger model",
+    )
+    p.add_argument("--nx", type=int, default=64, help="lattice extent in x")
+    p.add_argument("--nt", type=int, default=64, help="lattice extent in t")
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--m0", type=float, default=None)
+    p.add_argument("--md-steps", type=int, default=None)
+    p.add_argument("--tau", type=float, default=None, help="trajectory length")
+    p.add_argument("--ntherm", type=int, default=None)
+    p.add_argument("--nmeas", type=int, default=None)
+    p.add_argument("--nsteps", type=int, default=None,
+                   help="decorrelation sweeps between measurements")
+    p.add_argument("--save-conf", action="store_true", default=None)
+    p.add_argument("--ranks-x", type=int, default=None,
+                   help="device mesh extent in x (reference ranks_x)")
+    p.add_argument("--ranks-t", type=int, default=None)
+    p.add_argument("--cg-tol", type=float, default=None,
+                   help="CG relative tolerance (reference 1e-10 in f64)")
+    p.add_argument("--cg-max-iter", type=int, default=10000)
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None,
+                   help="default: float32 on TPU, float64 on CPU")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chains", type=int, default=1,
+                   help="independent vmapped chains")
+    p.add_argument("--quenched", action="store_true",
+                   help="pure gauge theory (no fermions)")
+    p.add_argument("--condensate", action="store_true",
+                   help="measure the chiral condensate")
+    p.add_argument("--n-noise", type=int, default=8,
+                   help="noise vectors per condensate estimate")
+    p.add_argument("--cold-start", action="store_true")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume from a checkpoint (.npz)")
+    p.add_argument("--read-conf", default=None, metavar="CTXT",
+                   help="start from a saved gauge configuration (.ctxt)")
+    p.add_argument("--checkpoint", default=None, metavar="CKPT",
+                   help="write a checkpoint at the end of the run")
+    p.add_argument("--no-simdata", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu/tpu)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from schwingermodel_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from schwingermodel_tpu.config import (
+        CGParams, HMCParams, LatticeParams, RunParams,
+    )
+    from schwingermodel_tpu.io import ctxt
+    from schwingermodel_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from schwingermodel_tpu.parallel import lattice_mesh
+    from schwingermodel_tpu.runner import run_hmc
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = args.dtype or ("float32" if on_tpu else "float64")
+    if dtype == "float64" and not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    # ---- parameters: flags, else reference-style stdin prompts ----
+    need_stdin = any(
+        v is None for v in (args.ranks_x, args.ranks_t, args.m0, args.md_steps,
+                            args.tau, args.beta, args.ntherm, args.nmeas,
+                            args.nsteps)
+    ) and args.resume is None
+    if not need_stdin and args.save_conf is None:
+        args.save_conf = False
+    interactive = sys.stdin.isatty()
+    if need_stdin:
+        if interactive:
+            print("  -----------------------------", file=sys.stderr)
+            print("|  Two-flavor Schwinger model   |", file=sys.stderr)
+            print("| Hybrid Monte Carlo simulation |", file=sys.stderr)
+            print("  -----------------------------", file=sys.stderr)
+            print(f"Nx {args.nx} Nt {args.nt}", file=sys.stderr)
+        get = lambda q, c, cur: cur if cur is not None else _prompt(q, c, interactive)
+        args.ranks_x = get("ranks_x: ", int, args.ranks_x)
+        args.ranks_t = get("ranks_t: ", int, args.ranks_t)
+        args.m0 = get("m0: ", float, args.m0)
+        args.md_steps = get("Molecular dynamics steps: ", int, args.md_steps)
+        args.tau = get("Trajectory length: ", float, args.tau)
+        args.beta = get("beta: ", float, args.beta)
+        args.ntherm = get("Thermalization: ", int, args.ntherm)
+        args.nmeas = get("Measurements: ", int, args.nmeas)
+        args.nsteps = get("Step (sweeps between measurements): ", int, args.nsteps)
+        args.save_conf = bool(get("Save configurations yes/no (1 or 0): ", int,
+                                  None if args.save_conf is None else int(args.save_conf)))
+
+    initial_theta = None
+    start_traj = 0
+    if args.resume:
+        ck = load_checkpoint(args.resume)
+        lattice, hmc, run = ck["lattice"], ck["hmc"], ck["run"]
+        initial_theta = ck["theta"]
+        start_traj = ck["traj_index"]
+        # allow extending the run
+        if args.nmeas is not None:
+            run = RunParams(**{**run.__dict__, "n_meas": args.nmeas, "n_therm": 0})
+    else:
+        cg_tol = args.cg_tol if args.cg_tol is not None else (
+            1e-6 if dtype == "float32" else 1e-10)
+        lattice = LatticeParams(Nx=args.nx, Nt=args.nt, real_dtype=dtype)
+        hmc = HMCParams(
+            beta=args.beta, m0=args.m0, md_steps=args.md_steps,
+            trajectory_length=args.tau, quenched=args.quenched,
+            cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter),
+        )
+        run = RunParams(
+            n_therm=args.ntherm, n_meas=args.nmeas, n_steps=args.nsteps,
+            save_conf=bool(args.save_conf), n_chains=args.chains,
+            seed=args.seed, out_dir=args.out_dir,
+            mesh_shape=(args.ranks_x, args.ranks_t),
+        )
+
+    if args.read_conf:
+        U = ctxt.read_conf(args.read_conf, lattice.Nx, lattice.Nt)
+        initial_theta = ctxt.theta_from_links(U)
+    elif args.cold_start and initial_theta is None:
+        initial_theta = np.zeros((2, lattice.Nx, lattice.Nt))
+
+    mesh = None
+    rx, rt = run.mesh_shape or (1, 1)
+    if rx * rt > 1:
+        n_dev = len(jax.devices())
+        if rx * rt > n_dev:
+            print(f"error: mesh {rx}x{rt} needs {rx*rt} devices, "
+                  f"have {n_dev}", file=sys.stderr)
+            return 1
+        if lattice.Nx % rx or lattice.Nt % rt:
+            # reference exits the same way (mpi_setup.h:12-19)
+            print(f"error: lattice {lattice.Nx}x{lattice.Nt} not divisible "
+                  f"by mesh {rx}x{rt}", file=sys.stderr)
+            return 1
+        mesh = lattice_mesh((rx, rt))
+
+    kappa = 1.0 / (2.0 * (hmc.m0 + 2.0))
+    print("*" * 70)
+    print("*                              PARAMETERS")
+    print(f"* Nx = {lattice.Nx}, Nt = {lattice.Nt}")
+    print(f"* m0 = {hmc.m0:g}, kappa = {kappa:g}")
+    print(f"* beta = {hmc.beta:g}" + ("  (quenched)" if hmc.quenched else ""))
+    print(f"* Thermalization confs = {run.n_therm}")
+    print(f"* Measurement confs = {run.n_meas}")
+    print(f"* Decorrelation steps (confs dropped between measurements) = {run.n_steps}")
+    print(f"* Trajectory length = {hmc.trajectory_length:g}, "
+          f"Leapfrog steps = {hmc.md_steps}, "
+          f"Integration step = {hmc.step_size:g}")
+    print(f"* CG max iterations = {hmc.cg.max_iter}, CG tolerance = {hmc.cg.tol:g}")
+    print(f"* Device mesh = {rx}x{rt} on {jax.default_backend()} "
+          f"({len(jax.devices())} device(s) visible)")
+    print(f"* Chains = {run.n_chains}, dtype = {lattice.real_dtype}, "
+          f"seed = {run.seed}")
+    print("*" * 70)
+
+    result = run_hmc(
+        lattice, hmc, run,
+        initial_theta=initial_theta, start_traj_index=start_traj,
+        measure_condensate=args.condensate, n_noise=args.n_noise,
+        mesh=mesh, progress=lambda s: print(s),
+        write_simdata=not args.no_simdata,
+    )
+
+    print(f"Average plaquette value / volume: Ep = {result.Ep:.17g} "
+          f"dEp = {result.dEp:.17g}")
+    print(f"Average gauge action / volume: gS = {result.gS:.17g} "
+          f"dgS = {result.dgS:.17g}")
+    if args.condensate:
+        s = result.summary("chiral_condensate")
+        print(f"Chiral condensate: {s['mean']:.10g} +- {s['error']:.3g} "
+              f"(tau_int {s['tau_int']:.2f})")
+    print(f"Acceptance rate: {result.acceptance_rate:.17g}")
+    print(f"Execution time = {result.elapsed_seconds:.6f} s")
+    print("-------------------------------")
+    if result.n_ill:
+        print(f"WARNING: {result.n_ill} ill (CG-failed) configurations dumped")
+
+    if args.checkpoint:
+        save_checkpoint(
+            args.checkpoint, theta=result.theta, key=result.key,
+            traj_index=result.traj_index, lattice=lattice, hmc=hmc, run=run,
+            chains={k: v.reshape(len(v), -1).mean(axis=1)
+                    for k, v in result.chains.items()},
+        )
+        print(f"Checkpoint written to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

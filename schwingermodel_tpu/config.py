@@ -74,6 +74,10 @@ class HMCParams:
     md_steps: int = 10          # MD_steps (leapfrog structure hmc.cpp:63-103)
     trajectory_length: float = 0.1
     cg: CGParams = dataclasses.field(default_factory=CGParams)
+    # Pure-gauge (quenched) mode: no pseudofermions, no CG. Not available in
+    # the reference; enables the exact 2D U(1) plaquette check
+    # <P> = I1(beta)/I0(beta) as a physics gate.
+    quenched: bool = False
     # Skip the redundant CG solve in H_old: phi = D chi implies
     # phi^+ (DD^+)^-1 phi == |chi|^2 exactly, so the old Hamiltonian's fermion
     # action needs no solver (the reference recomputes it with a full CG,

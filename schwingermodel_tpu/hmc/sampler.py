@@ -74,14 +74,17 @@ def trajectory_given_noise(
     r: jax.Array,
 ) -> Tuple[jax.Array, TrajectoryStats]:
     """Deterministic HMC update given pre-drawn noise. Returns (theta', stats)."""
-    phi = model.pseudofermion(theta, chi)          # Phi = D chi (hmc.cpp:159)
+    quenched = model.hmc.quenched
+    phi = None if quenched else model.pseudofermion(theta, chi)  # Phi = D chi
 
     stats = SolveStats.zero()
 
     # --- old Hamiltonian ---
     kin_old = model.kinetic(pi)
     sg_old = model.gauge_action(theta)
-    if model.hmc.exact_initial_fermion_action:
+    if quenched:
+        sf_old = 0.0
+    elif model.hmc.exact_initial_fermion_action:
         sf_old = model.geom.gsum(
             jnp.sum(jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=-3)
         )
@@ -93,7 +96,10 @@ def trajectory_given_noise(
     theta_new, pi_new, stats = leapfrog(model, theta, pi, phi)
 
     # --- new Hamiltonian ---
-    sf_new, stats = model.fermion_action(theta_new, phi, stats)
+    if quenched:
+        sf_new = 0.0
+    else:
+        sf_new, stats = model.fermion_action(theta_new, phi, stats)
     H_new = model.kinetic(pi_new) + model.gauge_action(theta_new) + sf_new
 
     dH = H_new - H_old

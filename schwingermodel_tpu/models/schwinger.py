@@ -107,10 +107,13 @@ class SchwingerModel:
 
     # ---------- forces ----------
 
-    def force(self, theta: jax.Array, phi: jax.Array, stats: SolveStats):
+    def force(self, theta: jax.Array, phi, stats: SolveStats):
         """Total MD force F_mu(n) = fermion + gauge (reference HMC::Force +
-        Force_G, src/hmc.cpp:32-60). Returns (F, stats)."""
+        Force_G, src/hmc.cpp:32-60). Returns (F, stats). In quenched mode
+        (phi is None) only the gauge staple force contributes."""
         U = self.links(theta)
+        if self.hmc.quenched or phi is None:
+            return gops.gauge_force(self.geom, U, self.hmc.beta), stats
         Uf = dops.fermion_links(U, self.sign_mask(theta))
         m0 = self.hmc.m0
 

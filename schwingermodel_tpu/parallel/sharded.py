@@ -44,13 +44,14 @@ def sharded_model(model: SchwingerModel) -> SchwingerModel:
     )
 
 
-def make_sharded_step(
+def make_sharded_traj_fn(
     model: SchwingerModel, mesh: Mesh
 ) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, sampler.TrajectoryStats]]:
-    """Build a jit-compiled sharded HMC step: (theta, key) -> (theta', stats).
+    """Un-jitted sharded HMC step (theta, key) -> (theta', stats), suitable
+    for embedding in lax.scan blocks (see runner) or jitting directly.
 
     theta is the *global* [2, Nx, Nt] angle field (sharded or not; the
-    returned function constrains it to the lattice sharding).
+    function constrains it to the lattice sharding).
     """
     inner_model = sharded_model(model)
     field_spec = P(None, X_AXIS_NAME, T_AXIS_NAME)
@@ -65,13 +66,17 @@ def make_sharded_step(
 
     sharding = theta_sharding(mesh)
 
-    @jax.jit
     def step(theta: jax.Array, key: jax.Array):
         theta = jax.lax.with_sharding_constraint(theta, sharding)
         pi, chi, r = sampler.draw_noise(model, theta.shape, key)
         return traj(theta, pi, chi, r)
 
     return step
+
+
+def make_sharded_step(model: SchwingerModel, mesh: Mesh):
+    """jit-compiled sharded HMC step: (theta, key) -> (theta', stats)."""
+    return jax.jit(make_sharded_traj_fn(model, mesh))
 
 
 def make_sharded_observables(model: SchwingerModel, mesh: Mesh):

@@ -1,0 +1,338 @@
+"""The outer Monte-Carlo loop: thermalize, measure, accumulate, summarize.
+
+TPU-native re-design of HMC::HMC_algorithm (src/hmc.cpp:183-215) and the
+driver logic around it (src/main.cpp:148-174):
+
+  - The whole measurement phase runs *on device* as a lax.scan over
+    measurement blocks (each = Nsteps+1 trajectories + the measurements),
+    compiled once; observable chains come back to the host in a single
+    transfer. This matters doubly on this platform: host<->device round
+    trips go through a tunnel with ~100 ms latency, and the reference's
+    structure (host loop per trajectory, hmc.cpp:196-212) would pay it
+    thousands of times.
+  - When per-measurement host work is required (save_conf=1 writes every
+    configuration like the reference, or ill-config dumping at failure
+    time), the loop falls back to one host step per measurement block.
+  - Independent chains are a vmapped leading axis (RunParams.n_chains); the
+    reference runs exactly one chain per job.
+  - Lattice sharding over a device mesh (RunParams.mesh_shape) reuses the
+    same blocks with the shard_map step from parallel.sharded.
+  - CG failure surfaces as per-block flags; the runner dumps the offending
+    configuration as ..._illConf{k}.ctxt on the host (the reference writes
+    it from inside Force, src/hmc.cpp:48-56).
+  - Configuration saving, SimData summary, jackknife errors (20 bins,
+    hmc.cpp:213-214) and acceptance accounting (getacceptance_rate,
+    include/hmc.h:42-47) match the reference's conventions.
+
+Everything here is host-side orchestration; all physics lives in jitted code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from schwingermodel_tpu import observables as obs
+from schwingermodel_tpu.config import HMCParams, LatticeParams, RunParams
+from schwingermodel_tpu.hmc import sampler
+from schwingermodel_tpu.io import ctxt
+from schwingermodel_tpu.io.simdata import SimData, simdata_filename
+from schwingermodel_tpu.models.schwinger import SchwingerModel
+from schwingermodel_tpu.utils import prng, statistics
+
+
+@dataclasses.dataclass
+class RunResult:
+    Ep: float               # mean plaquette (per site)
+    dEp: float              # 20-bin jackknife error
+    gS: float               # gauge action density
+    dgS: float
+    acceptance_rate: float  # accepted / total post-thermalization updates
+    elapsed_seconds: float
+    chains: dict            # observable name -> np.ndarray [n_meas, (n_chains)]
+    n_ill: int              # number of ill (CG-failed) events dumped/reported
+    theta: np.ndarray       # final configuration(s)
+    key: np.ndarray         # root key (for checkpoint/resume)
+    traj_index: int         # trajectories consumed (per chain)
+    cg_iters_total: int = 0
+
+    def summary(self, name: str) -> dict:
+        return statistics.binned_summary(np.asarray(self.chains[name]).reshape(-1))
+
+
+def _traj_fn(model: SchwingerModel, mesh) -> Callable:
+    if mesh is not None:
+        from schwingermodel_tpu.parallel.sharded import make_sharded_traj_fn
+
+        return make_sharded_traj_fn(model, mesh)
+    return partial(sampler.hmc_trajectory, model)
+
+
+def _measure(model: SchwingerModel, theta, key, with_condensate: bool,
+             n_noise: int):
+    out = {
+        "plaquette": obs.mean_plaquette(model, theta),
+        "gauge_action_density": obs.gauge_action_density(model, theta),
+        "top_charge": obs.topological_charge(model, theta),
+    }
+    if with_condensate:
+        res = obs.chiral_condensate(model, theta, key, n_noise=n_noise)
+        out["chiral_condensate"] = res.value
+    return out
+
+
+def hot_start(lattice: LatticeParams, key, n_chains: int = 1):
+    """Random uniform angles (reference RandomU1, src/gauge_conf.cpp:23-36)."""
+    shape = (2, lattice.Nx, lattice.Nt)
+    if n_chains > 1:
+        shape = (n_chains,) + shape
+    return jax.random.uniform(
+        key, shape, minval=-jnp.pi, maxval=jnp.pi, dtype=lattice.rdtype
+    )
+
+
+def cold_start(lattice: LatticeParams, n_chains: int = 1):
+    shape = (2, lattice.Nx, lattice.Nt)
+    if n_chains > 1:
+        shape = (n_chains,) + shape
+    return jnp.zeros(shape, dtype=lattice.rdtype)
+
+
+def run_hmc(
+    lattice: LatticeParams,
+    hmc: HMCParams,
+    run: RunParams,
+    *,
+    initial_theta=None,
+    start_traj_index: int = 0,
+    measure_condensate: bool = False,
+    n_noise: int = 8,
+    mesh=None,
+    progress: Optional[Callable[[str], None]] = None,
+    write_simdata: bool = False,
+    host: Optional[str] = None,
+) -> RunResult:
+    """Full simulation (reference main.cpp:148-174 + hmc.cpp:183-215)."""
+    t_begin = time.perf_counter()
+    log = progress or (lambda s: None)
+    model = SchwingerModel(lattice=lattice, hmc=hmc)
+
+    n_chains = run.n_chains
+    if mesh is not None and n_chains > 1:
+        raise NotImplementedError("mesh + multiple chains not yet supported")
+
+    key = prng.root_key(run.seed)
+    k_init, k_run = jax.random.split(key)
+    if initial_theta is None:
+        theta = hot_start(lattice, k_init, n_chains)
+    else:
+        theta = jnp.asarray(initial_theta, dtype=lattice.rdtype)
+        if n_chains > 1 and theta.ndim == 3:
+            theta = jnp.broadcast_to(theta, (n_chains,) + theta.shape)
+
+    traj = _traj_fn(model, mesh)
+    if n_chains > 1:
+        traj = jax.vmap(traj)
+
+    def keys_for(start: int, n: int):
+        """Per-trajectory keys [n] (or [n, n_chains]) from the run key."""
+        idx = jnp.arange(start, start + n)
+        ks = jax.vmap(lambda i: prng.trajectory_key(k_run, i))(idx)
+        if n_chains > 1:
+            ks = jax.vmap(lambda k: jax.random.split(k, n_chains))(ks)
+        return ks
+
+    def meas_keys_for(n: int):
+        idx = jnp.arange(n)
+        ks = jax.vmap(lambda i: jax.random.fold_in(k_run, 10_000_000 + i))(idx)
+        if n_chains > 1:
+            ks = jax.vmap(lambda k: jax.random.split(k, n_chains))(ks)
+        return ks
+
+    # ---- SimData header (reference main.cpp:97-126) ----
+    simdata = None
+    if write_simdata:
+        rx, rt = (mesh.devices.shape if mesh is not None else (1, 1))
+        simdata = SimData(os.path.join(
+            run.out_dir, simdata_filename(lattice.Nx, lattice.Nt, hmc.m0)))
+        simdata.write_header(
+            Nx=lattice.Nx, Nt=lattice.Nt, ranks_x=rx, ranks_t=rt,
+            beta=hmc.beta, n_therm=run.n_therm, n_meas=run.n_meas,
+            n_steps=run.n_steps, trajectory_length=hmc.trajectory_length,
+            md_steps=hmc.md_steps, cg_max_iter=hmc.cg.max_iter,
+            cg_tol=hmc.cg.tol, m0=hmc.m0, host=host,
+        )
+
+    # one scanned trajectory block: (theta, keys[n(,C)]) -> theta', stats'
+    @jax.jit
+    def block(theta, keys):
+        def body(th, k):
+            th, st = traj(th, k)
+            return th, st
+        return jax.lax.scan(body, theta, keys)
+
+    def measure_one(theta_c, key_c):
+        return _measure(model, theta_c, key_c,
+                        with_condensate=measure_condensate, n_noise=n_noise)
+
+    measure_v = jax.vmap(measure_one) if n_chains > 1 else measure_one
+    measure = jax.jit(measure_v)
+
+    traj_index = start_traj_index
+    n_ill = 0
+    cg_iters_total = 0
+
+    def dump_ill(theta_now):
+        nonlocal n_ill
+        th = np.asarray(theta_now).reshape(-1, 2, lattice.Nx, lattice.Nt)
+        for c in range(th.shape[0]):
+            name = ctxt.ill_conf_filename(
+                lattice.Nx, lattice.Nt, hmc.beta, hmc.m0, n_ill)
+            ctxt.write_conf(os.path.join(run.out_dir, name),
+                            ctxt.links_from_theta(th[c]))
+            n_ill += 1
+            log(f"CG failed to converge; configuration dumped to {name}")
+
+    # ---- thermalization (hmc.cpp:187-191) ----
+    therm_chunk = 100
+    done = 0
+    while done < run.n_therm:
+        n = min(therm_chunk, run.n_therm - done)
+        theta, st = block(theta, keys_for(traj_index, n))
+        if not bool(jnp.all(st.cg_converged)):
+            dump_ill(theta)
+        cg_iters_total += int(jnp.sum(st.cg_iters))
+        done += n
+        traj_index += n
+        log(f"{done} thermalization configurations generated")
+
+    # ---- measurements (hmc.cpp:196-212) ----
+    # reference order: update, measure, then Nsteps decorrelation updates
+    # (skipped after the last measurement, hmc.cpp:207-209). Equivalent
+    # regrouping with one uniform block shape: [1 update + measure] then
+    # (n_meas-1) x [Nsteps+1 updates + measure].
+    per_meas = 1 + run.n_steps
+    slow_path = run.save_conf  # per-measurement host I/O required
+
+    theta, st0 = block(theta, keys_for(traj_index, 1))
+    traj_index += 1
+    mk = meas_keys_for(run.n_meas)
+    o0 = measure(theta, jax.tree.map(lambda a: a[0], mk))
+    accepted = [np.asarray(st0.accepted).sum(keepdims=True)]
+    conv_flags = [np.asarray(jnp.all(st0.cg_converged), dtype=bool).reshape(1)]
+    cg_iters_total += int(jnp.sum(st0.cg_iters))
+    meas_list = [o0]
+    updates_total = int(np.prod(np.shape(st0.accepted)))
+    if not bool(conv_flags[0][0]):
+        dump_ill(theta)
+    if run.save_conf:
+        _save_confs(theta, 0, lattice, hmc, run, n_chains)
+
+    if slow_path:
+        for i in range(1, run.n_meas):
+            theta, st = block(theta, keys_for(traj_index, per_meas))
+            traj_index += per_meas
+            o = measure(theta, jax.tree.map(lambda a: a[i], mk))
+            if not bool(jnp.all(st.cg_converged)):
+                dump_ill(theta)
+            accepted.append(np.asarray(st.accepted).sum(keepdims=True))
+            conv_flags.append(np.ones(1, dtype=bool))
+            cg_iters_total += int(jnp.sum(st.cg_iters))
+            updates_total += int(np.prod(np.shape(st.accepted)))
+            meas_list.append(o)
+            _save_confs(theta, i, lattice, hmc, run, n_chains)
+        chains = {
+            k: np.stack([np.asarray(m[k]) for m in meas_list])
+            for k in meas_list[0]
+        }
+        accepted_total = int(np.sum(np.concatenate(accepted)))
+    elif run.n_meas > 1:
+        # fast path: the remaining n_meas-1 blocks in ONE device program
+        @jax.jit
+        def meas_phase(theta, block_keys, meas_ks):
+            def body(th, inp):
+                bk, mk_i = inp
+                th, st = block(th, bk)   # nested jit is inlined by the tracer
+                o = measure_v(th, mk_i)
+                blockstats = (
+                    jnp.sum(st.accepted.astype(jnp.int32)),
+                    jnp.sum(st.cg_iters),
+                    jnp.all(st.cg_converged),
+                )
+                return th, (o, blockstats)
+            return jax.lax.scan(body, theta, (block_keys, meas_ks))
+
+        nb = run.n_meas - 1
+        bkeys = keys_for(traj_index, nb * per_meas)
+        bkeys = jax.tree.map(
+            lambda a: a.reshape((nb, per_meas) + a.shape[1:]), bkeys)
+        mks = jax.tree.map(lambda a: a[1:], mk)
+        theta, (o_rest, (acc_b, iters_b, conv_b)) = meas_phase(theta, bkeys, mks)
+        traj_index += nb * per_meas
+        updates_total += nb * per_meas * max(n_chains, 1)
+        accepted_total = int(np.sum(np.concatenate(accepted))) + int(jnp.sum(acc_b))
+        cg_iters_total += int(jnp.sum(iters_b))
+        conv_np = np.asarray(conv_b)
+        if not conv_np.all():
+            n_bad = int((~conv_np).sum())
+            log(f"CG failed to converge in {n_bad} measurement block(s); "
+                f"final configuration dumped")
+            dump_ill(theta)
+        chains = {
+            k: np.concatenate(
+                [np.asarray(o0[k])[None], np.asarray(o_rest[k])], axis=0)
+            for k in o0
+        }
+    else:
+        chains = {k: np.asarray(v)[None] for k, v in o0.items()}
+        accepted_total = int(np.sum(np.concatenate(accepted)))
+
+    elapsed = time.perf_counter() - t_begin
+
+    # ---- summary (hmc.cpp:213-214: mean + 20-bin jackknife) ----
+    def _jack(name):
+        x = chains[name].reshape(len(chains[name]), -1).mean(axis=1)
+        n_bins = min(20, max(2, len(x) // 2))
+        return statistics.mean(x), statistics.jackknife_error(x, n_bins)
+
+    Ep, dEp = _jack("plaquette")
+    gS, dgS = _jack("gauge_action_density")
+    acceptance = accepted_total / max(updates_total, 1)
+
+    result = RunResult(
+        Ep=Ep, dEp=dEp, gS=gS, dgS=dgS,
+        acceptance_rate=acceptance, elapsed_seconds=elapsed,
+        chains=chains, n_ill=n_ill,
+        theta=np.asarray(theta), key=np.asarray(key),
+        traj_index=traj_index, cg_iters_total=cg_iters_total,
+    )
+
+    if simdata is not None:
+        extra = {}
+        if measure_condensate:
+            cc, dcc = _jack("chiral_condensate")
+            extra["chiral_condensate"] = (cc, dcc)
+        simdata.append_results(
+            Ep=Ep, dEp=dEp, gS=gS, dgS=dgS,
+            acceptance_rate=acceptance, elapsed_seconds=elapsed,
+            extra=extra or None,
+        )
+    return result
+
+
+def _save_confs(theta, index, lattice, hmc, run, n_chains):
+    """Write configuration(s) like the reference (hmc.cpp:201-208)."""
+    th = np.asarray(theta).reshape(-1, 2, lattice.Nx, lattice.Nt)
+    for c, th_c in enumerate(th):
+        name = ctxt.conf_filename(
+            lattice.Nx, lattice.Nt, hmc.beta, hmc.m0,
+            index if n_chains == 1 else index * n_chains + c)
+        ctxt.write_conf(os.path.join(run.out_dir, name),
+                        ctxt.links_from_theta(th_c))
