@@ -9,10 +9,22 @@ config (64x64, beta=4, m0=0.2, 10 MD steps, trajectory length 0.1 -- the
 repo's demo config, run.sh:4-17): CPP_BASELINE_TRAJ_PER_S below.
 vs_baseline = our traj/s divided by that.
 
+Methodology notes:
+  - The 100 benchmark trajectories run as ONE device program (lax.scan), the
+    same shape the production runner uses, so host dispatch is out of the
+    measurement.
+  - Timing is bounded by a host *readback* of the outputs, not
+    block_until_ready: on tunneled backends block_until_ready can return
+    before execution finishes, which inflates throughput by orders of
+    magnitude. Readback is the only trustworthy fence.
+  - even_odd=True: the Schur-complement preconditioned action (ops/eo.py)
+    samples exactly the same gauge distribution as the reference's full-D
+    pseudofermions at ~2.4x fewer CG iterations (see tests/test_eo.py).
+
 Precision note: the reference runs f64 with CG tol 1e-10; on TPU the gauge
 field/solver run f32 with CG tol 1e-6 (f32 residual floor). The angle
 representation keeps links exactly unitary regardless, and detailed-balance
-diagnostics (<exp(-dH)> = 1) hold at f32 -- see tests and VERIFY skill.
+diagnostics (<exp(-dH)> = 1) hold at f32 -- see tests and the verify skill.
 """
 
 import json
@@ -36,37 +48,41 @@ from schwingermodel_tpu.utils import prng
 # (thermalized CG is the dominant cost; Ep=0.8522(16), gS=0.5910(65), acc=1).
 CPP_BASELINE_TRAJ_PER_S = 1.785
 
-N_WARMUP = 100   # thermalize so CG iteration counts are equilibrium-typical
-N_BENCH = 100
+BLOCK = 100      # trajectories per device program (same shape as the runner)
+N_BLOCKS = 5     # timed blocks; dependent, one readback fence at the end
 
 
 def main():
     lat = LatticeParams(Nx=64, Nt=64, real_dtype="float32")
     hmc = HMCParams(
         beta=4.0, m0=0.2, md_steps=10, trajectory_length=0.1,
-        cg=CGParams(tol=1e-6, max_iter=2000),
+        cg=CGParams(tol=1e-6, max_iter=2000), even_odd=True,
     )
     model = SchwingerModel(lattice=lat, hmc=hmc)
 
-    step = jax.jit(lambda th, k: hmc_trajectory(model, th, k))
+    @jax.jit
+    def run_block(theta, k0):
+        keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(BLOCK))
+        def body(th, k):
+            th, st = hmc_trajectory(model, th, k)
+            return th, st.accepted
+        th, acc = jax.lax.scan(body, theta, keys)
+        return th, jnp.sum(acc)
 
     key = prng.root_key(0)
     theta = jax.random.uniform(
         key, (2, 64, 64), minval=-jnp.pi, maxval=jnp.pi, dtype=lat.rdtype
     )
-
-    # warmup: compile + thermalize a little so CG cost is typical
-    for i in range(N_WARMUP):
-        theta, stats = step(theta, prng.trajectory_key(key, i))
-    jax.block_until_ready(theta)
+    theta, a = run_block(theta, key)    # compile + thermalize
+    float(a)                            # readback fence
 
     t0 = time.perf_counter()
-    for i in range(N_WARMUP, N_WARMUP + N_BENCH):
-        theta, stats = step(theta, prng.trajectory_key(key, i))
-    jax.block_until_ready(theta)
+    for j in range(N_BLOCKS):
+        theta, a = run_block(theta, jax.random.fold_in(key, j))
+    assert float(a) >= 0                # readback fence
     dt = time.perf_counter() - t0
 
-    traj_per_s = N_BENCH / dt
+    traj_per_s = N_BLOCKS * BLOCK / dt
     print(json.dumps({
         "metric": "hmc_traj_per_s_64x64",
         "value": round(traj_per_s, 3),

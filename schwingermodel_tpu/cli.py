@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent vmapped chains")
     p.add_argument("--quenched", action="store_true",
                    help="pure gauge theory (no fermions)")
+    p.add_argument("--no-even-odd", dest="even_odd", action="store_false",
+                   default=True,
+                   help="disable even-odd (Schur) preconditioning and use the "
+                        "reference's plain full-D pseudofermions")
     p.add_argument("--condensate", action="store_true",
                    help="measure the chiral condensate")
     p.add_argument("--n-noise", type=int, default=8,
@@ -151,9 +155,11 @@ def main(argv=None) -> int:
         cg_tol = args.cg_tol if args.cg_tol is not None else (
             1e-6 if dtype == "float32" else 1e-10)
         lattice = LatticeParams(Nx=args.nx, Nt=args.nt, real_dtype=dtype)
+        even_odd = args.even_odd and lattice.Nx % 2 == 0 and lattice.Nt % 2 == 0
         hmc = HMCParams(
             beta=args.beta, m0=args.m0, md_steps=args.md_steps,
             trajectory_length=args.tau, quenched=args.quenched,
+            even_odd=even_odd,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter),
         )
         run = RunParams(

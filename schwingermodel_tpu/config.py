@@ -83,6 +83,12 @@ class HMCParams:
     # action needs no solver (the reference recomputes it with a full CG,
     # hmc.cpp:105-133 called twice at hmc.cpp:162).
     exact_initial_fermion_action: bool = True
+    # Even-odd (Schur-complement) preconditioned pseudofermions (ops/eo.py):
+    # exactly the same gauge-field distribution as the reference's full-D
+    # pseudofermions (det D = const * det Dhat for Wilson fermions), at about
+    # half the CG iterations on half-size fields. Requires even Nx, Nt.
+    # The reference has no preconditioning (src/conjugate_gradient.cpp).
+    even_odd: bool = False
 
     @property
     def kappa(self) -> float:

@@ -56,12 +56,13 @@ def draw_noise(model: SchwingerModel, shape, key: jax.Array):
     """Draw (pi, chi, r) for one trajectory from a trajectory key.
 
     shape is theta.shape; returns momentum field pi ~ N(0,1), pseudofermion
-    noise chi ~ complex N(0, 1/sqrt(2)) per component, Metropolis uniform r.
+    noise chi ~ complex N(0, 1/sqrt(2)) per component (even-packed half
+    lattice in even-odd mode), Metropolis uniform r.
     """
     rdtype = model.lattice.rdtype
     k_pi, k_chi, k_acc = prng.split_fields(key, 3)
     pi = prng.normal_real(k_pi, shape, rdtype)
-    chi = prng.normal_complex(k_chi, shape, rdtype)
+    chi = prng.normal_complex(k_chi, model.chi_shape(shape), rdtype)
     r = prng.uniform_scalar(k_acc, dtype=rdtype)
     return pi, chi, r
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from schwingermodel_tpu.config import HMCParams, LatticeParams
 from schwingermodel_tpu.ops import dirac as dops
+from schwingermodel_tpu.ops import eo
 from schwingermodel_tpu.ops import gauge as gops
 from schwingermodel_tpu.ops.geometry import Geometry
 from schwingermodel_tpu.solvers.cg import CGResult, cg_solve
@@ -81,8 +82,27 @@ class SchwingerModel:
         return dops.dirac_normal(self.geom, self.fermion_links(theta), phi, self.hmc.m0)
 
     def pseudofermion(self, theta: jax.Array, chi: jax.Array) -> jax.Array:
-        """Phi = D chi (reference src/hmc.cpp:159-160)."""
+        """Phi = D chi (reference src/hmc.cpp:159-160); Phi = Dhat chi
+        (even-packed) in even-odd mode."""
+        if self.hmc.even_odd:
+            return self.eo_ops(theta).dhat(chi)
         return self.D(theta, chi)
+
+    def chi_shape(self, theta_shape) -> tuple:
+        """Shape of the pseudofermion noise field chi for a given theta shape:
+        full-lattice spinor, or the even-packed half lattice in even-odd mode."""
+        if self.hmc.even_odd:
+            *lead, _, Nx, Nt = theta_shape
+            if Nx % 2 or Nt % 2:
+                raise ValueError(
+                    f"even-odd preconditioning needs even (local) lattice "
+                    f"extents, got {Nx}x{Nt}")
+            return (*lead, 2, Nx, Nt // 2)
+        return tuple(theta_shape)
+
+    def eo_ops(self, theta: jax.Array) -> eo.EOOperators:
+        """Dhat/Dhat^+ for this configuration (even-odd mode, ops/eo.py)."""
+        return eo.EOOperators(self.geom, self.fermion_links(theta), self.hmc.m0)
 
     def _dot_re(self, x, y):
         return jnp.real(dops.spinor_dot(self.geom, x, y))
@@ -114,9 +134,22 @@ class SchwingerModel:
         U = self.links(theta)
         if self.hmc.quenched or phi is None:
             return gops.gauge_force(self.geom, U, self.hmc.beta), stats
-        Uf = dops.fermion_links(U, self.sign_mask(theta))
         m0 = self.hmc.m0
 
+        if self.hmc.even_odd:
+            ops = self.eo_ops(theta)
+            res = cg_solve(
+                ops.normal, phi, self._dot_re,
+                tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+            )
+            psi = res.x                                 # (Dhat Dhat^+)^{-1} Phi
+            chi_p = ops.dhat_dag(psi)
+            F = eo.eo_fermion_force(
+                self.fermion_links, self.geom, m0, theta, psi, chi_p)
+            F = F + gops.gauge_force(self.geom, U, self.hmc.beta)
+            return F, stats.merge(res)
+
+        Uf = dops.fermion_links(U, self.sign_mask(theta))
         res = cg_solve(
             lambda v: dops.dirac_normal(self.geom, Uf, v, m0),
             phi, self._dot_re,
@@ -135,8 +168,15 @@ class SchwingerModel:
 
     def fermion_action(self, theta: jax.Array, phi: jax.Array, stats: SolveStats):
         """S_f = Re <Phi, (DD^+)^{-1} Phi> (reference HMC::Action fermion
-        part, src/hmc.cpp:115-117)."""
-        res = self.solve_normal(theta, phi)
+        part, src/hmc.cpp:115-117); the Dhat analog in even-odd mode."""
+        if self.hmc.even_odd:
+            ops = self.eo_ops(theta)
+            res = cg_solve(
+                ops.normal, phi, self._dot_re,
+                tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+            )
+        else:
+            res = self.solve_normal(theta, phi)
         return self._dot_re(phi, res.x), stats.merge(res)
 
     def kinetic(self, pi: jax.Array) -> jax.Array:

@@ -53,6 +53,13 @@ def make_sharded_traj_fn(
     theta is the *global* [2, Nx, Nt] angle field (sharded or not; the
     function constrains it to the lattice sharding).
     """
+    if model.hmc.even_odd:
+        rt = mesh.shape[T_AXIS_NAME]
+        if (model.lattice.Nt // rt) % 2:
+            raise ValueError(
+                f"even-odd mode needs an even local Nt per shard; "
+                f"Nt={model.lattice.Nt} over {rt} t-shards gives "
+                f"{model.lattice.Nt // rt}")
     inner_model = sharded_model(model)
     field_spec = P(None, X_AXIS_NAME, T_AXIS_NAME)
 
