@@ -150,3 +150,36 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert ck["hmc"] == hmc
     assert ck["run"] == run
     np.testing.assert_array_equal(ck["chains"]["plaquette"], [0.1, 0.2, 0.3])
+
+
+def test_readbinconf_tool_matches_reference_converter_bytes(tmp_path):
+    """Our standalone converter reproduces readBinConf.cpp's text output
+    byte-for-byte (golden_text_0.txt was written by the compiled reference
+    converter from the golden binary)."""
+    from schwingermodel_tpu.tools import readbinconf
+
+    out = str(tmp_path / "conv.txt")
+    assert readbinconf.convert(G0, out) == (8, 8)
+    with open(os.path.join(GOLDEN, "golden_text_0.txt")) as a, open(out) as b:
+        assert a.read() == b.read()
+
+
+def test_readbinconf_tool_stdin_pipe(tmp_path, monkeypatch, capsys):
+    """Pipe-compatible with the reference workflow: filenames on stdin
+    (readBin.sh:13-14 `./readBinConf < filenames`)."""
+    import io as _io
+
+    from schwingermodel_tpu.tools import readbinconf
+
+    out = str(tmp_path / "conv.txt")
+    monkeypatch.setattr("sys.stdin", _io.StringIO(f"{G0}\n{out}"))
+    assert readbinconf.main([]) == 0
+    assert "Nx 8  Nt 8" in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        ctxt.read_conf(out, 8, 8, binary=False), ctxt.read_conf(G0, 8, 8))
+
+
+def test_readbinconf_tool_missing_file(capsys):
+    from schwingermodel_tpu.tools import readbinconf
+
+    assert readbinconf.main(["/nonexistent.ctxt", "/tmp/x.txt"]) == 1
