@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="disable even-odd (Schur) preconditioning and use the "
                         "reference's plain full-D pseudofermions")
+    p.add_argument("--autotune", action="store_true",
+                   help="dual-averaging step-size warmup targeting the "
+                        "reference's 0.6-0.8 acceptance band")
+    p.add_argument("--tune-target", type=float, default=0.7)
+    p.add_argument("--n-tune", type=int, default=100,
+                   help="warmup trajectories used for tuning")
     p.add_argument("--condensate", action="store_true",
                    help="measure the chiral condensate")
     p.add_argument("--n-noise", type=int, default=8,
@@ -167,6 +173,8 @@ def main(argv=None) -> int:
             save_conf=bool(args.save_conf), n_chains=args.chains,
             seed=args.seed, out_dir=args.out_dir,
             mesh_shape=(args.ranks_x, args.ranks_t),
+            autotune=args.autotune, tune_target=args.tune_target,
+            n_tune=args.n_tune,
         )
 
     if args.read_conf:

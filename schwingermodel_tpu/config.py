@@ -112,3 +112,10 @@ class RunParams:
     out_dir: str = "."
     # Optional mesh shape (ranks_x, ranks_t) for lattice sharding; None = single device.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Step-size autotuning (new capability; the reference asks the user to
+    # hand-tune MD_steps/tau for 0.6-0.8 acceptance, README.md:87-94):
+    # dual-averaging warmup on pooled acceptance, then md_steps is re-fixed
+    # at trajectory_length/eps for the measurement phase (hmc/autotune.py).
+    autotune: bool = False
+    tune_target: float = 0.7    # middle of the reference's acceptance band
+    n_tune: int = 100           # warmup trajectories used for tuning

@@ -30,20 +30,25 @@ from schwingermodel_tpu.models.schwinger import SchwingerModel, SolveStats
 
 
 def leapfrog(model: SchwingerModel, theta: jax.Array, pi: jax.Array,
-             phi: jax.Array) -> Tuple[jax.Array, jax.Array, SolveStats]:
-    """One MD trajectory; returns (theta', pi', solve_stats)."""
-    dt = model.hmc.step_size
+             phi: jax.Array, dt=None, beta=None,
+             ) -> Tuple[jax.Array, jax.Array, SolveStats]:
+    """One MD trajectory; returns (theta', pi', solve_stats).
+
+    `dt` / `beta` may be traced scalars overriding the static hmc values
+    (step-size autotuning, beta scans) -- the compiled program is reused
+    across values; only md_steps (the trip count) stays static."""
+    dt = model.hmc.step_size if dt is None else dt
     n_inner = model.hmc.md_steps - 2
 
     stats = SolveStats.zero()
     theta = theta + (0.5 * dt) * pi
-    F, stats = model.force(theta, phi, stats)
+    F, stats = model.force(theta, phi, stats, beta)
 
     def body(carry, _):
         theta, pi, F, stats = carry
         pi = pi + dt * F
         theta = theta + dt * pi
-        F, stats = model.force(theta, phi, stats)
+        F, stats = model.force(theta, phi, stats, beta)
         return (theta, pi, F, stats), None
 
     if n_inner > 0:

@@ -73,8 +73,13 @@ def trajectory_given_noise(
     pi: jax.Array,
     chi: jax.Array,
     r: jax.Array,
+    dt=None,
+    beta=None,
 ) -> Tuple[jax.Array, TrajectoryStats]:
-    """Deterministic HMC update given pre-drawn noise. Returns (theta', stats)."""
+    """Deterministic HMC update given pre-drawn noise. Returns (theta', stats).
+
+    `dt` / `beta` may be traced scalar overrides of the static hmc values
+    (step-size autotuning, beta scans share one compiled program)."""
     quenched = model.hmc.quenched
     phi = None if quenched else model.pseudofermion(theta, chi)  # Phi = D chi
 
@@ -82,7 +87,7 @@ def trajectory_given_noise(
 
     # --- old Hamiltonian ---
     kin_old = model.kinetic(pi)
-    sg_old = model.gauge_action(theta)
+    sg_old = model.gauge_action(theta, beta)
     if quenched:
         sf_old = 0.0
     elif model.hmc.exact_initial_fermion_action:
@@ -94,14 +99,14 @@ def trajectory_given_noise(
     H_old = kin_old + sg_old + sf_old
 
     # --- MD evolution ---
-    theta_new, pi_new, stats = leapfrog(model, theta, pi, phi)
+    theta_new, pi_new, stats = leapfrog(model, theta, pi, phi, dt, beta)
 
     # --- new Hamiltonian ---
     if quenched:
         sf_new = 0.0
     else:
         sf_new, stats = model.fermion_action(theta_new, phi, stats)
-    H_new = model.kinetic(pi_new) + model.gauge_action(theta_new) + sf_new
+    H_new = model.kinetic(pi_new) + model.gauge_action(theta_new, beta) + sf_new
 
     dH = H_new - H_old
     accept = r <= jnp.exp(-dH)                      # hmc.cpp:171
@@ -121,10 +126,12 @@ def trajectory_given_noise(
 
 
 def hmc_trajectory(model: SchwingerModel, theta: jax.Array,
-                   key: jax.Array) -> Tuple[jax.Array, TrajectoryStats]:
+                   key: jax.Array, dt=None, beta=None,
+                   ) -> Tuple[jax.Array, TrajectoryStats]:
     """Evolve one trajectory from `theta` and accept/reject.
 
-    Returns (theta_next, stats).
+    Returns (theta_next, stats). `dt`/`beta` are optional traced overrides
+    (see trajectory_given_noise).
     """
     pi, chi, r = draw_noise(model, theta.shape, key)
-    return trajectory_given_noise(model, theta, pi, chi, r)
+    return trajectory_given_noise(model, theta, pi, chi, r, dt, beta)

@@ -127,13 +127,17 @@ class SchwingerModel:
 
     # ---------- forces ----------
 
-    def force(self, theta: jax.Array, phi, stats: SolveStats):
+    def force(self, theta: jax.Array, phi, stats: SolveStats, beta=None):
         """Total MD force F_mu(n) = fermion + gauge (reference HMC::Force +
         Force_G, src/hmc.cpp:32-60). Returns (F, stats). In quenched mode
-        (phi is None) only the gauge staple force contributes."""
+        (phi is None) only the gauge staple force contributes.
+
+        `beta` may be a traced scalar override of the static hmc.beta so
+        beta-scans and couplings schedules reuse one compiled trajectory."""
+        beta = self.hmc.beta if beta is None else beta
         U = self.links(theta)
         if self.hmc.quenched or phi is None:
-            return gops.gauge_force(self.geom, U, self.hmc.beta), stats
+            return gops.gauge_force(self.geom, U, beta), stats
         m0 = self.hmc.m0
 
         if self.hmc.even_odd:
@@ -146,7 +150,7 @@ class SchwingerModel:
             chi_p = ops.dhat_dag(psi)
             F = eo.eo_fermion_force(
                 self.fermion_links, self.geom, m0, theta, psi, chi_p)
-            F = F + gops.gauge_force(self.geom, U, self.hmc.beta)
+            F = F + gops.gauge_force(self.geom, U, beta)
             return F, stats.merge(res)
 
         Uf = dops.fermion_links(U, self.sign_mask(theta))
@@ -158,13 +162,14 @@ class SchwingerModel:
         psi = res.x                                     # (DD^+)^{-1} Phi
         chi_p = dops.dirac_dagger(self.geom, Uf, psi, m0)   # D^+ psi
         F = dops.fermion_force(self.geom, Uf, psi, chi_p)
-        F = F + gops.gauge_force(self.geom, U, self.hmc.beta)
+        F = F + gops.gauge_force(self.geom, U, beta)
         return F, stats.merge(res)
 
     # ---------- energies ----------
 
-    def gauge_action(self, theta: jax.Array) -> jax.Array:
-        return gops.gauge_action(self.geom, self.links(theta), self.hmc.beta)
+    def gauge_action(self, theta: jax.Array, beta=None) -> jax.Array:
+        beta = self.hmc.beta if beta is None else beta
+        return gops.gauge_action(self.geom, self.links(theta), beta)
 
     def fermion_action(self, theta: jax.Array, phi: jax.Array, stats: SolveStats):
         """S_f = Re <Phi, (DD^+)^{-1} Phi> (reference HMC::Action fermion

@@ -66,17 +66,21 @@ def make_sharded_traj_fn(
     traj = jax.shard_map(
         partial(sampler.trajectory_given_noise, inner_model),
         mesh=mesh,
-        in_specs=(field_spec, field_spec, field_spec, P()),
+        in_specs=(field_spec, field_spec, field_spec, P(), P(), P()),
         out_specs=(field_spec, P()),
         check_vma=False,
     )
 
     sharding = theta_sharding(mesh)
 
-    def step(theta: jax.Array, key: jax.Array):
+    def step(theta: jax.Array, key: jax.Array, dt=None, beta=None):
+        """dt/beta: optional traced scalar overrides (autotuning, beta scans);
+        None bakes the static hmc values in as compile-time constants."""
         theta = jax.lax.with_sharding_constraint(theta, sharding)
         pi, chi, r = sampler.draw_noise(model, theta.shape, key)
-        return traj(theta, pi, chi, r)
+        dt = model.hmc.step_size if dt is None else dt
+        beta = model.hmc.beta if beta is None else beta
+        return traj(theta, pi, chi, r, dt, beta)
 
     return step
 

@@ -137,6 +137,31 @@ def run_hmc(
         if n_chains > 1 and theta.ndim == 3:
             theta = jnp.broadcast_to(theta, (n_chains,) + theta.shape)
 
+    # ---- optional step-size autotuning warmup (hmc/autotune.py) ----
+    n_therm_left = run.n_therm
+    tuned_eps = None
+    if run.autotune:
+        from schwingermodel_tpu.hmc import autotune as at
+
+        tune_traj = None
+        if mesh is not None:
+            s = _traj_fn(model, mesh)
+            tune_traj = lambda th, k, dt: s(th, k, dt=dt)
+        n_tune = min(run.n_tune, run.n_therm) if run.n_therm else run.n_tune
+        theta, hmc_tuned, tuned_eps = at.autotune(
+            model, theta, jax.random.fold_in(k_run, 0x7E0E),
+            n_tune=n_tune, target=run.tune_target, traj_fn=tune_traj,
+        )
+        n_therm_left = max(0, run.n_therm - n_tune)
+        if hmc_tuned.md_steps != hmc.md_steps:
+            log(f"autotune: eps={tuned_eps:.5f} -> md_steps "
+                f"{hmc.md_steps} -> {hmc_tuned.md_steps} "
+                f"(dt {hmc.step_size:.5f} -> {hmc_tuned.step_size:.5f})")
+        else:
+            log(f"autotune: eps={tuned_eps:.5f}, md_steps={hmc.md_steps} kept")
+        hmc = hmc_tuned
+        model = SchwingerModel(lattice=lattice, hmc=hmc)
+
     traj = _traj_fn(model, mesh)
     if n_chains > 1:
         traj = jax.vmap(traj)
@@ -203,8 +228,8 @@ def run_hmc(
     # ---- thermalization (hmc.cpp:187-191) ----
     therm_chunk = 100
     done = 0
-    while done < run.n_therm:
-        n = min(therm_chunk, run.n_therm - done)
+    while done < n_therm_left:
+        n = min(therm_chunk, n_therm_left - done)
         theta, st = block(theta, keys_for(traj_index, n))
         if not bool(jnp.all(st.cg_converged)):
             dump_ill(theta)
