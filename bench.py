@@ -20,6 +20,9 @@ Methodology notes:
   - even_odd=True: the Schur-complement preconditioned action (ops/eo.py)
     samples exactly the same gauge distribution as the reference's full-D
     pseudofermions at ~2.4x fewer CG iterations (see tests/test_eo.py).
+  - cg_forecast=True (default): chronological forecasting starts each force
+    CG from the previous MD step's solution, saving a further ~28% of CG
+    iterations at this config (tests/test_tuning_scan.py).
 
 Precision note: the reference runs f64 with CG tol 1e-10; on TPU the gauge
 field/solver run f32 with CG tol 1e-6 (f32 residual floor). The angle

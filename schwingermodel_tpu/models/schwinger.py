@@ -127,23 +127,29 @@ class SchwingerModel:
 
     # ---------- forces ----------
 
-    def force(self, theta: jax.Array, phi, stats: SolveStats, beta=None):
+    def force(self, theta: jax.Array, phi, stats: SolveStats, beta=None,
+              x0=None):
         """Total MD force F_mu(n) = fermion + gauge (reference HMC::Force +
-        Force_G, src/hmc.cpp:32-60). Returns (F, stats). In quenched mode
-        (phi is None) only the gauge staple force contributes.
+        Force_G, src/hmc.cpp:32-60). Returns (F, stats, psi). In quenched
+        mode (phi is None) only the gauge staple force contributes and psi
+        is None.
 
         `beta` may be a traced scalar override of the static hmc.beta so
-        beta-scans and couplings schedules reuse one compiled trajectory."""
+        beta-scans and couplings schedules reuse one compiled trajectory.
+        `x0` is an optional CG starting guess -- the integrator passes the
+        previous step's psi (chronological forecasting, hmc/integrators.py),
+        which typically saves ~1/3 of the solver iterations; the reference
+        always restarts from b (src/conjugate_gradient.cpp:16)."""
         beta = self.hmc.beta if beta is None else beta
         U = self.links(theta)
         if self.hmc.quenched or phi is None:
-            return gops.gauge_force(self.geom, U, beta), stats
+            return gops.gauge_force(self.geom, U, beta), stats, None
         m0 = self.hmc.m0
 
         if self.hmc.even_odd:
             ops = self.eo_ops(theta)
             res = cg_solve(
-                ops.normal, phi, self._dot_re,
+                ops.normal, phi, self._dot_re, x0=x0,
                 tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
             )
             psi = res.x                                 # (Dhat Dhat^+)^{-1} Phi
@@ -151,19 +157,19 @@ class SchwingerModel:
             F = eo.eo_fermion_force(
                 self.fermion_links, self.geom, m0, theta, psi, chi_p)
             F = F + gops.gauge_force(self.geom, U, beta)
-            return F, stats.merge(res)
+            return F, stats.merge(res), psi
 
         Uf = dops.fermion_links(U, self.sign_mask(theta))
         res = cg_solve(
             lambda v: dops.dirac_normal(self.geom, Uf, v, m0),
-            phi, self._dot_re,
+            phi, self._dot_re, x0=x0,
             tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
         )
         psi = res.x                                     # (DD^+)^{-1} Phi
         chi_p = dops.dirac_dagger(self.geom, Uf, psi, m0)   # D^+ psi
         F = dops.fermion_force(self.geom, Uf, psi, chi_p)
         F = F + gops.gauge_force(self.geom, U, beta)
-        return F, stats.merge(res)
+        return F, stats.merge(res), psi
 
     # ---------- energies ----------
 
@@ -171,17 +177,23 @@ class SchwingerModel:
         beta = self.hmc.beta if beta is None else beta
         return gops.gauge_action(self.geom, self.links(theta), beta)
 
-    def fermion_action(self, theta: jax.Array, phi: jax.Array, stats: SolveStats):
+    def fermion_action(self, theta: jax.Array, phi: jax.Array, stats: SolveStats,
+                       x0=None):
         """S_f = Re <Phi, (DD^+)^{-1} Phi> (reference HMC::Action fermion
-        part, src/hmc.cpp:115-117); the Dhat analog in even-odd mode."""
+        part, src/hmc.cpp:115-117); the Dhat analog in even-odd mode.
+
+        x0: optional CG starting guess (the trajectory passes the final
+        force solve's psi -- the same system at a half-step-away theta)."""
         if self.hmc.even_odd:
             ops = self.eo_ops(theta)
-            res = cg_solve(
-                ops.normal, phi, self._dot_re,
-                tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-            )
+            apply_A = ops.normal
         else:
-            res = self.solve_normal(theta, phi)
+            Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
+            apply_A = lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0)
+        res = cg_solve(
+            apply_A, phi, self._dot_re, x0=x0,
+            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+        )
         return self._dot_re(phi, res.x), stats.merge(res)
 
     def kinetic(self, pi: jax.Array) -> jax.Array:

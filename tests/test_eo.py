@@ -191,8 +191,8 @@ def test_eo_trajectory_runs_and_conserves(rng):
     # reversibility: integrate forward, negate momenta, integrate back
     pi, chi, _ = sampler.draw_noise(model, theta.shape, key)
     phi = model.pseudofermion(theta, chi)
-    th1, pi1, _ = leapfrog(model, theta, pi, phi)
-    th0, pi0, _ = leapfrog(model, th1, -pi1, phi)
+    th1, pi1, _, _ = leapfrog(model, theta, pi, phi)
+    th0, pi0, _, _ = leapfrog(model, th1, -pi1, phi)
     np.testing.assert_allclose(np.asarray(th0), np.asarray(theta), atol=1e-9)
     np.testing.assert_allclose(np.asarray(-pi0), np.asarray(pi), atol=1e-9)
 
