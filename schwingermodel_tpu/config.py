@@ -96,6 +96,15 @@ class HMCParams:
     # detailed-balance diagnostics (<exp(-dH)> = 1) are unaffected at the
     # solver tolerance (tested).
     cg_forecast: bool = True
+    # Fused Pallas CG kernel (ops/pallas_eo.py): the entire (Dhat Dhat^+)
+    # solve -- stencil, dots, convergence loop -- as one TPU kernel with all
+    # vectors pinned in VMEM; ~8x faster per iteration than the XLA-level
+    # solver at 64x64 (kernel-launch overhead dominates small-field fusions).
+    # None = auto: on when even_odd and f32 and single-device on a TPU
+    # backend. True forces it (interpret mode off-TPU, for tests); False
+    # always uses the jnp solver. The sharded path always uses the jnp
+    # solver (ppermute halos).
+    fused_cg: Optional[bool] = None
 
     @property
     def kappa(self) -> float:

@@ -104,6 +104,36 @@ class SchwingerModel:
         """Dhat/Dhat^+ for this configuration (even-odd mode, ops/eo.py)."""
         return eo.EOOperators(self.geom, self.fermion_links(theta), self.hmc.m0)
 
+    def _use_fused_cg(self) -> bool:
+        """Resolve HMCParams.fused_cg (None = auto; trace-time decision)."""
+        if self.hmc.fused_cg is not None:
+            return self.hmc.fused_cg and self.hmc.even_odd and not self.geom.is_sharded
+        return (
+            self.hmc.even_odd
+            and not self.geom.is_sharded
+            and self.lattice.rdtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+
+    def _solve_eo(self, ops: eo.EOOperators, b: jax.Array, x0=None) -> CGResult:
+        """(Dhat Dhat^+)^{-1} b: fused Pallas kernel when enabled, else the
+        jnp CG (identical semantics; see ops/pallas_eo.py)."""
+        if self._use_fused_cg():
+            from schwingermodel_tpu.ops.pallas_eo import cg_solve_eo_fused
+
+            res = cg_solve_eo_fused(
+                ops.Ue, ops.Uo, b, b if x0 is None else x0,
+                m0=float(self.hmc.m0), tol=float(self.hmc.cg.tol),
+                max_iter=int(self.hmc.cg.max_iter),
+                interpret=jax.default_backend() != "tpu",
+            )
+            return CGResult(x=res.x, iters=res.iters, converged=res.converged,
+                            rel_residual=res.rel_residual)
+        return cg_solve(
+            ops.normal, b, self._dot_re, x0=x0,
+            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+        )
+
     def _dot_re(self, x, y):
         return jnp.real(dops.spinor_dot(self.geom, x, y))
 
@@ -148,10 +178,7 @@ class SchwingerModel:
 
         if self.hmc.even_odd:
             ops = self.eo_ops(theta)
-            res = cg_solve(
-                ops.normal, phi, self._dot_re, x0=x0,
-                tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-            )
+            res = self._solve_eo(ops, phi, x0=x0)
             psi = res.x                                 # (Dhat Dhat^+)^{-1} Phi
             chi_p = ops.dhat_dag(psi)
             F = eo.eo_fermion_force(
@@ -185,15 +212,14 @@ class SchwingerModel:
         x0: optional CG starting guess (the trajectory passes the final
         force solve's psi -- the same system at a half-step-away theta)."""
         if self.hmc.even_odd:
-            ops = self.eo_ops(theta)
-            apply_A = ops.normal
+            res = self._solve_eo(self.eo_ops(theta), phi, x0=x0)
         else:
             Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
-            apply_A = lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0)
-        res = cg_solve(
-            apply_A, phi, self._dot_re, x0=x0,
-            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-        )
+            res = cg_solve(
+                lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0),
+                phi, self._dot_re, x0=x0,
+                tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+            )
         return self._dot_re(phi, res.x), stats.merge(res)
 
     def kinetic(self, pi: jax.Array) -> jax.Array:
