@@ -10,7 +10,7 @@ repo's demo config, run.sh:4-17): CPP_BASELINE_TRAJ_PER_S below.
 vs_baseline = our traj/s divided by that.
 
 Methodology notes:
-  - The 100 benchmark trajectories run as ONE device program (lax.scan), the
+  - The 500 benchmark trajectories run as ONE device program (lax.scan), the
     same shape the production runner uses, so host dispatch is out of the
     measurement.
   - Timing is bounded by a host *readback* of the outputs, not
@@ -55,8 +55,11 @@ from schwingermodel_tpu.utils import prng
 # (thermalized CG is the dominant cost; Ep=0.8522(16), gS=0.5910(65), acc=1).
 CPP_BASELINE_TRAJ_PER_S = 1.785
 
-BLOCK = 100      # trajectories per device program (same shape as the runner)
-N_BLOCKS = 5     # timed blocks; dependent, one readback fence at the end
+BLOCK = 100      # thermalization trajectories (one device program)
+N_TIMED = 500    # timed trajectories, ONE device program + one readback
+                 # fence (the tunnel costs ~100 ms per unpipelined dispatch,
+                 # so per-block host loops would measure the tunnel, not
+                 # the chip)
 
 
 def main():
@@ -67,29 +70,33 @@ def main():
     )
     model = SchwingerModel(lattice=lat, hmc=hmc)
 
-    @jax.jit
-    def run_block(theta, k0):
-        keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(BLOCK))
-        def body(th, k):
-            th, st = hmc_trajectory(model, th, k)
-            return th, st.accepted
-        th, acc = jax.lax.scan(body, theta, keys)
-        return th, jnp.sum(acc)
+    def make_run(n):
+        @jax.jit
+        def run(theta, k0):
+            keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(n))
+            def body(th, k):
+                th, st = hmc_trajectory(model, th, k)
+                return th, st.accepted
+            th, acc = jax.lax.scan(body, theta, keys)
+            return th, jnp.sum(acc)
+        return run
 
     key = prng.root_key(0)
     theta = jax.random.uniform(
         key, (2, 64, 64), minval=-jnp.pi, maxval=jnp.pi, dtype=lat.rdtype
     )
-    theta, a = run_block(theta, key)    # compile + thermalize
-    float(a)                            # readback fence
+    theta, a = make_run(BLOCK)(theta, key)   # compile + thermalize
+    float(a)                                 # readback fence
 
+    run_timed = make_run(N_TIMED)
+    theta2, a = run_timed(theta, jax.random.fold_in(key, 1))  # compile
+    float(a)
     t0 = time.perf_counter()
-    for j in range(N_BLOCKS):
-        theta, a = run_block(theta, jax.random.fold_in(key, j))
-    assert float(a) >= 0                # readback fence
+    theta2, a = run_timed(theta, jax.random.fold_in(key, 2))
+    assert float(a) >= 0                     # readback fence
     dt = time.perf_counter() - t0
 
-    traj_per_s = N_BLOCKS * BLOCK / dt
+    traj_per_s = N_TIMED / dt
     print(json.dumps({
         "metric": "hmc_traj_per_s_64x64",
         "value": round(traj_per_s, 3),
