@@ -25,8 +25,8 @@ Methodology notes:
     iterations at this config (tests/test_tuning_scan.py).
   - fused_cg auto-on (TPU backend): every (Dhat Dhat^+) solve runs as ONE
     Pallas kernel -- stencil, dots, and the convergence while-loop with all
-    vectors pinned in VMEM (ops/pallas_eo.py) -- measured 1.27 us/CG-iter
-    vs 10.3 us/iter for the XLA-level solver at this lattice size.
+    vectors pinned in VMEM (ops/pallas_eo.py) -- measured ~0.6 us/CG-iter
+    vs ~10 us/iter for the XLA-level solver at this lattice size.
 
 Precision note: the reference runs f64 with CG tol 1e-10; on TPU the gauge
 field/solver run f32 with CG tol 1e-6 (f32 residual floor). The angle

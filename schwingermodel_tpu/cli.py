@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-simdata", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace to DIR "
+                        "(view with XProf/TensorBoard)")
     return p
 
 
@@ -221,13 +224,18 @@ def main(argv=None) -> int:
           f"seed = {run.seed}")
     print("*" * 70)
 
-    result = run_hmc(
-        lattice, hmc, run,
-        initial_theta=initial_theta, start_traj_index=start_traj,
-        measure_condensate=args.condensate, n_noise=args.n_noise,
-        mesh=mesh, progress=lambda s: print(s),
-        write_simdata=not args.no_simdata,
-    )
+    from schwingermodel_tpu.utils.metrics import profiler_trace
+
+    with profiler_trace(args.profile):
+        result = run_hmc(
+            lattice, hmc, run,
+            initial_theta=initial_theta, start_traj_index=start_traj,
+            measure_condensate=args.condensate, n_noise=args.n_noise,
+            mesh=mesh, progress=lambda s: print(s),
+            write_simdata=not args.no_simdata,
+        )
+    if args.profile:
+        print(f"Profiler trace written to {args.profile}")
 
     print(f"Average plaquette value / volume: Ep = {result.Ep:.17g} "
           f"dEp = {result.dEp:.17g}")

@@ -46,6 +46,7 @@ from schwingermodel_tpu.io import ctxt
 from schwingermodel_tpu.io.simdata import SimData, simdata_filename
 from schwingermodel_tpu.models.schwinger import SchwingerModel
 from schwingermodel_tpu.utils import prng, statistics
+from schwingermodel_tpu.utils.metrics import PerfMonitor
 
 
 @dataclasses.dataclass
@@ -62,6 +63,7 @@ class RunResult:
     key: np.ndarray         # root key (for checkpoint/resume)
     traj_index: int         # trajectories consumed (per chain)
     cg_iters_total: int = 0
+    perf: Optional[dict] = None  # per-phase timing/throughput (utils.metrics)
 
     def summary(self, name: str) -> dict:
         return statistics.binned_summary(np.asarray(self.chains[name]).reshape(-1))
@@ -225,18 +227,23 @@ def run_hmc(
             n_ill += 1
             log(f"CG failed to converge; configuration dumped to {name}")
 
+    perf = PerfMonitor(volume=lattice.volume, even_odd=hmc.even_odd)
+
     # ---- thermalization (hmc.cpp:187-191) ----
     therm_chunk = 100
     done = 0
-    while done < n_therm_left:
-        n = min(therm_chunk, n_therm_left - done)
-        theta, st = block(theta, keys_for(traj_index, n))
-        if not bool(jnp.all(st.cg_converged)):
-            dump_ill(theta)
-        cg_iters_total += int(jnp.sum(st.cg_iters))
-        done += n
-        traj_index += n
-        log(f"{done} thermalization configurations generated")
+    with perf.phase("thermalize"):
+        while done < n_therm_left:
+            n = min(therm_chunk, n_therm_left - done)
+            theta, st = block(theta, keys_for(traj_index, n))
+            if not bool(jnp.all(st.cg_converged)):
+                dump_ill(theta)
+            it = int(jnp.sum(st.cg_iters))
+            cg_iters_total += it
+            perf.add(trajectories=n * max(n_chains, 1), cg_iters=it)
+            done += n
+            traj_index += n
+            log(f"{done} thermalization configurations generated")
 
     # ---- measurements (hmc.cpp:196-212) ----
     # reference order: update, measure, then Nsteps decorrelation updates
@@ -246,6 +253,7 @@ def run_hmc(
     per_meas = 1 + run.n_steps
     slow_path = run.save_conf  # per-measurement host I/O required
 
+    perf.start("measure")
     theta, st0 = block(theta, keys_for(traj_index, 1))
     traj_index += 1
     mk = meas_keys_for(run.n_meas)
@@ -319,6 +327,14 @@ def run_hmc(
         chains = {k: np.asarray(v)[None] for k, v in o0.items()}
         accepted_total = int(np.sum(np.concatenate(accepted)))
 
+    perf.add(trajectories=updates_total,
+             cg_iters=cg_iters_total
+             - sum(p.cg_iters for p in perf.phases.values()),
+             phase="measure")
+    perf.stop("measure")
+    for line in perf.report_lines():
+        log("perf: " + line)
+
     elapsed = time.perf_counter() - t_begin
 
     # ---- summary (hmc.cpp:213-214: mean + 20-bin jackknife) ----
@@ -337,6 +353,7 @@ def run_hmc(
         chains=chains, n_ill=n_ill,
         theta=np.asarray(theta), key=np.asarray(key),
         traj_index=traj_index, cg_iters_total=cg_iters_total,
+        perf=perf.summary(),
     )
 
     if simdata is not None:

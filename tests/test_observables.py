@@ -112,3 +112,42 @@ def test_autocorrelation_time_ar1(rng):
         x[i] = rho * x[i - 1] + e[i]
     tau = stats.autocorrelation_time(x)
     np.testing.assert_allclose(tau, 9.5, rtol=0.2)
+
+
+def test_perf_monitor_phases_and_rates():
+    import time as _time
+
+    from schwingermodel_tpu.utils.metrics import (
+        PerfMonitor, cg_iteration_flops, profiler_trace)
+
+    perf = PerfMonitor(volume=64 * 64, even_odd=True)
+    with perf.phase("thermalize"):
+        _time.sleep(0.01)
+        perf.add(trajectories=10, cg_iters=1000)
+    perf.start("measure")
+    perf.add(trajectories=5, cg_iters=400)
+    perf.stop("measure")
+    s = perf.summary()
+    assert s["thermalize"]["traj_per_s"] > 0
+    assert s["thermalize"]["cg_iters_per_traj"] == 100
+    assert s["measure"]["cg_iters_per_traj"] == 80
+    assert s["thermalize"]["cg_gflops"] > 0
+    assert cg_iteration_flops(4096, True) == 4096 * 172.0
+    assert cg_iteration_flops(4096, False) == 4096 * 200.0
+    lines = perf.report_lines()
+    assert any("thermalize" in ln for ln in lines)
+    with profiler_trace(None):  # no-op path
+        pass
+
+
+def test_run_result_carries_perf(small_lattice):
+    from schwingermodel_tpu.config import HMCParams, RunParams
+    from schwingermodel_tpu.runner import run_hmc
+
+    hmc = HMCParams(beta=2.0, m0=0.1, md_steps=6, trajectory_length=1.0,
+                    quenched=True)
+    run = RunParams(n_therm=5, n_meas=5, seed=1)
+    res = run_hmc(small_lattice, hmc, run)
+    assert res.perf is not None
+    assert "thermalize" in res.perf and "measure" in res.perf
+    assert res.perf["measure"]["traj_per_s"] > 0

@@ -2,7 +2,7 @@
 
 These run the kernel in interpret mode (CPU CI); the on-TPU compiled path
 was validated on real hardware to produce identical iteration counts and
-residuals (1.27 us/iter vs 10.3 us/iter at 64x64 -- see the module
+residuals (0.62 us/iter vs ~10 us/iter at 64x64 -- see the module
 docstring and bench.py).
 """
 
