@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ranks-x", type=int, default=None,
                    help="device mesh extent in x (reference ranks_x)")
     p.add_argument("--ranks-t", type=int, default=None)
+    p.add_argument("--ranks-chain", type=int, default=1,
+                   help="device mesh extent over independent chains (data "
+                        "parallelism; requires --chains divisible by it)")
     p.add_argument("--cg-tol", type=float, default=None,
                    help="CG relative tolerance (reference 1e-10 in f64)")
     p.add_argument("--cg-max-iter", type=int, default=10000)
@@ -175,11 +178,14 @@ def main(argv=None) -> int:
             even_odd=even_odd, cg_forecast=args.cg_forecast,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter),
         )
+        mesh_shape = (args.ranks_x, args.ranks_t)
+        if args.ranks_chain > 1:
+            mesh_shape = (args.ranks_chain,) + mesh_shape
         run = RunParams(
             n_therm=args.ntherm, n_meas=args.nmeas, n_steps=args.nsteps,
             save_conf=bool(args.save_conf), n_chains=args.chains,
             seed=args.seed, out_dir=args.out_dir,
-            mesh_shape=(args.ranks_x, args.ranks_t),
+            mesh_shape=mesh_shape,
             autotune=args.autotune, tune_target=args.tune_target,
             n_tune=args.n_tune,
         )
@@ -191,19 +197,26 @@ def main(argv=None) -> int:
         initial_theta = np.zeros((2, lattice.Nx, lattice.Nt))
 
     mesh = None
-    rx, rt = run.mesh_shape or (1, 1)
-    if rx * rt > 1:
+    shape = run.mesh_shape or (1, 1)
+    rc = shape[0] if len(shape) == 3 else 1
+    rx, rt = shape[-2:]
+    n_mesh = rc * rx * rt
+    if n_mesh > 1:
         n_dev = len(jax.devices())
-        if rx * rt > n_dev:
-            print(f"error: mesh {rx}x{rt} needs {rx*rt} devices, "
-                  f"have {n_dev}", file=sys.stderr)
+        if n_mesh > n_dev:
+            print(f"error: mesh {'x'.join(map(str, shape))} needs {n_mesh} "
+                  f"devices, have {n_dev}", file=sys.stderr)
             return 1
         if lattice.Nx % rx or lattice.Nt % rt:
             # reference exits the same way (mpi_setup.h:12-19)
             print(f"error: lattice {lattice.Nx}x{lattice.Nt} not divisible "
                   f"by mesh {rx}x{rt}", file=sys.stderr)
             return 1
-        mesh = lattice_mesh((rx, rt))
+        if rc > 1 and run.n_chains % rc:
+            print(f"error: --chains {run.n_chains} not divisible by "
+                  f"--ranks-chain {rc}", file=sys.stderr)
+            return 1
+        mesh = lattice_mesh(shape)
 
     kappa = 1.0 / (2.0 * (hmc.m0 + 2.0))
     print("*" * 70)
@@ -218,7 +231,8 @@ def main(argv=None) -> int:
           f"Leapfrog steps = {hmc.md_steps}, "
           f"Integration step = {hmc.step_size:g}")
     print(f"* CG max iterations = {hmc.cg.max_iter}, CG tolerance = {hmc.cg.tol:g}")
-    print(f"* Device mesh = {rx}x{rt} on {jax.default_backend()} "
+    mesh_desc = f"{rx}x{rt}" + (f" x {rc} chain groups" if rc > 1 else "")
+    print(f"* Device mesh = {mesh_desc} on {jax.default_backend()} "
           f"({len(jax.devices())} device(s) visible)")
     print(f"* Chains = {run.n_chains}, dtype = {lattice.real_dtype}, "
           f"seed = {run.seed}")

@@ -126,8 +126,11 @@ class RunParams:
     n_chains: int = 1           # vmapped independent chains (new capability)
     seed: int = 0
     out_dir: str = "."
-    # Optional mesh shape (ranks_x, ranks_t) for lattice sharding; None = single device.
-    mesh_shape: Optional[Tuple[int, int]] = None
+    # Optional mesh shape for device sharding; None = single device.
+    # (ranks_x, ranks_t) = 2D lattice domain decomposition;
+    # (ranks_chain, ranks_x, ranks_t) additionally shards independent chains
+    # over a leading data-parallel 'chain' mesh axis.
+    mesh_shape: Optional[Tuple[int, ...]] = None
     # Step-size autotuning (new capability; the reference asks the user to
     # hand-tune MD_steps/tau for 0.6-0.8 acceptance, README.md:87-94):
     # dual-averaging warmup on pooled acceptance, then md_steps is re-fixed

@@ -77,6 +77,7 @@ def tune_step_size(
     target: float = 0.7,
     eps0: float | None = None,
     traj_fn=None,
+    traj_handles_chains: bool = False,
 ) -> TuneResult:
     """Dual-averaging warmup; one compiled lax.scan over n_tune trajectories.
 
@@ -84,7 +85,11 @@ def tune_step_size(
     acceptance probabilities are pooled by mean across chains -- the
     on-device analog of pooling across ranks). `traj_fn(theta, key, dt)`
     defaults to the single-device sampler; pass a shard_map-wrapped step for
-    sharded lattices. jit-compatible (returns traced values).
+    sharded lattices. A chain-sharded step (parallel.sharded over a 3D
+    'chain' mesh) consumes the whole chain batch itself -- pass
+    traj_handles_chains=True so it gets the [C] key batch directly instead
+    of being vmapped from outside (vmap cannot cross shard_map).
+    jit-compatible (returns traced values).
     """
     rdtype = model.lattice.rdtype
     eps0 = float(model.hmc.step_size) if eps0 is None else eps0
@@ -95,7 +100,11 @@ def tune_step_size(
             return sampler.hmc_trajectory(model, th, k, dt=dt)
 
     def one(th, k, dt):
-        if chains:
+        if chains and traj_handles_chains:
+            ks = jax.random.split(k, th.shape[0])
+            th, st = traj_fn(th, ks, dt)
+            p = jnp.mean(jnp.minimum(1.0, st.exp_mdH))
+        elif chains:
             ks = jax.random.split(k, th.shape[0])
             th, st = jax.vmap(lambda t_, k_: traj_fn(t_, k_, dt))(th, ks)
             # pooled expected acceptance: mean over chains of min(1, exp(-dH))
@@ -128,11 +137,13 @@ def finalize(hmc: HMCParams, eps: float, max_md_steps: int = 1000) -> HMCParams:
 
 def autotune(model: SchwingerModel, theta, key, n_tune: int = 100,
              target: float = 0.7, traj_fn=None,
+             traj_handles_chains: bool = False,
              ) -> Tuple[jax.Array, HMCParams, float]:
     """Convenience wrapper: tune, then return (theta, finalized HMCParams, eps)."""
     res = jax.jit(
         lambda th, k: tune_step_size(
-            model, th, k, n_tune=n_tune, target=target, traj_fn=traj_fn)
+            model, th, k, n_tune=n_tune, target=target, traj_fn=traj_fn,
+            traj_handles_chains=traj_handles_chains)
     )(theta, key)
     eps = float(res.eps)
     return res.theta, finalize(model.hmc, eps), eps

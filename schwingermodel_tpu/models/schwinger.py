@@ -132,6 +132,7 @@ class SchwingerModel:
         return cg_solve(
             ops.normal, b, self._dot_re, x0=x0,
             tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+            sync_pred=self.geom.sync_any,
         )
 
     def _dot_re(self, x, y):
@@ -153,6 +154,7 @@ class SchwingerModel:
         return cg_solve(
             apply_A, b, self._dot_re,
             tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+            sync_pred=self.geom.sync_any,
         )
 
     # ---------- forces ----------
@@ -191,6 +193,7 @@ class SchwingerModel:
             lambda v: dops.dirac_normal(self.geom, Uf, v, m0),
             phi, self._dot_re, x0=x0,
             tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+            sync_pred=self.geom.sync_any,
         )
         psi = res.x                                     # (DD^+)^{-1} Phi
         chi_p = dops.dirac_dagger(self.geom, Uf, psi, m0)   # D^+ psi
@@ -219,6 +222,7 @@ class SchwingerModel:
                 lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0),
                 phi, self._dot_re, x0=x0,
                 tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
+                sync_pred=self.geom.sync_any,
             )
         return self._dot_re(phi, res.x), stats.merge(res)
 

@@ -65,6 +65,14 @@ class Geometry:
         t = lax.broadcasted_iota(jnp.int32, (Nx, Nt), 1)
         return x, t
 
+    def sync_any(self, pred: jax.Array) -> jax.Array:
+        """OR a boolean predicate across *independent* device groups that run
+        the same program (the data-parallel chain axis). Identity here; see
+        ShardedGeometry. Used by iterative solvers so every group executes
+        the same number of collective ops -- mismatched while_loop trip
+        counts across groups would desynchronize the ppermute schedule."""
+        return pred
+
 
 @dataclasses.dataclass(frozen=True)
 class ShardedGeometry(Geometry):
@@ -77,6 +85,10 @@ class ShardedGeometry(Geometry):
 
     x_name: str = "x"
     t_name: str = "t"
+    # Data-parallel chain axis name when the mesh also shards independent
+    # chains (parallel.mesh.CHAIN_AXIS_NAME); None on a pure lattice mesh.
+    # Reductions stay per-chain-group; only solver termination crosses it.
+    chain_name: str | None = None
 
     is_sharded = True
 
@@ -111,6 +123,15 @@ class ShardedGeometry(Geometry):
 
     def gsum_all(self, a: jax.Array) -> jax.Array:
         return lax.psum(jnp.sum(a), (self.x_name, self.t_name))
+
+    def sync_any(self, pred: jax.Array) -> jax.Array:
+        """OR across chain groups: keeps iterative-solver while_loops running
+        in lockstep on all device groups of the mesh (a group whose collective
+        -permute schedule diverges from its neighbors deadlocks the program;
+        the vmap analog is JAX's own freezing of converged lanes)."""
+        if self.chain_name is None:
+            return pred
+        return lax.psum(pred.astype(jnp.int32), self.chain_name) > 0
 
     def global_coords(self, Nx: int, Nt: int):
         """Global coordinates of this shard's sites; Nx/Nt are *local* extents.

@@ -17,6 +17,11 @@ from jax.sharding import Mesh
 
 X_AXIS_NAME = "x"
 T_AXIS_NAME = "t"
+# Data-parallel axis over independent Monte-Carlo chains (new capability; the
+# reference runs exactly one chain per MPI job). Chains are embarrassingly
+# parallel, so this axis carries no halo traffic -- only the acceptance
+# pooling psum in the autotuner crosses it.
+CHAIN_AXIS_NAME = "chain"
 
 
 def choose_mesh_shape(n_devices: int, Nx: int, Nt: int) -> Tuple[int, int]:
@@ -49,21 +54,30 @@ def choose_mesh_shape(n_devices: int, Nx: int, Nt: int) -> Tuple[int, int]:
 
 
 def lattice_mesh(
-    shape: Optional[Tuple[int, int]] = None,
+    shape: Optional[Tuple[int, ...]] = None,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a Mesh with axes ('x', 't') over the given (or all) devices."""
+    """Build a Mesh over the given (or all) devices.
+
+    shape (rx, rt) gives axes ('x', 't'); shape (rc, rx, rt) prepends a
+    'chain' data-parallel axis (independent chains sharded over rc device
+    groups, each group domain-decomposing the lattice rx x rt).
+    """
     if devices is None:
         devices = jax.devices()
     if shape is None:
         n = len(devices)
         # default: all devices along t (fastest-varying lattice axis)
         shape = (1, n)
-    rx, rt = shape
-    if rx * rt != len(devices):
-        devices = devices[: rx * rt]
+    names = ((CHAIN_AXIS_NAME,) if len(shape) == 3 else ()) + (
+        X_AXIS_NAME, T_AXIS_NAME)
+    n_mesh = 1
+    for s in shape:
+        n_mesh *= s
+    if n_mesh != len(devices):
+        devices = devices[:n_mesh]
     import numpy as np
 
-    dev_grid = np.asarray(devices).reshape(rx, rt)
-    return Mesh(dev_grid, (X_AXIS_NAME, T_AXIS_NAME))
+    dev_grid = np.asarray(devices).reshape(shape)
+    return Mesh(dev_grid, names)

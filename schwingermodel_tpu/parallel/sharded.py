@@ -29,18 +29,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from schwingermodel_tpu.hmc import sampler
 from schwingermodel_tpu.models.schwinger import SchwingerModel
 from schwingermodel_tpu.ops.geometry import ShardedGeometry
-from schwingermodel_tpu.parallel.mesh import T_AXIS_NAME, X_AXIS_NAME
+from schwingermodel_tpu.parallel.mesh import (
+    CHAIN_AXIS_NAME, T_AXIS_NAME, X_AXIS_NAME,
+)
+
+
+def _has_chain_axis(mesh: Mesh) -> bool:
+    return CHAIN_AXIS_NAME in mesh.axis_names
 
 
 def theta_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding of field arrays [..., mu/spin, x, t]: lattice axes on the mesh."""
+    """Sharding of field arrays: [mu/spin, x, t] on a 2D mesh, or
+    [chain, mu/spin, x, t] on a 3D ('chain', 'x', 't') mesh."""
+    if _has_chain_axis(mesh):
+        return NamedSharding(
+            mesh, P(CHAIN_AXIS_NAME, None, X_AXIS_NAME, T_AXIS_NAME))
     return NamedSharding(mesh, P(None, X_AXIS_NAME, T_AXIS_NAME))
 
 
-def sharded_model(model: SchwingerModel) -> SchwingerModel:
-    """The same model with a ppermute/psum geometry (for use inside shard_map)."""
+def sharded_model(model: SchwingerModel, chained: bool = False) -> SchwingerModel:
+    """The same model with a ppermute/psum geometry (for use inside shard_map).
+
+    chained=True additionally names the data-parallel chain mesh axis so the
+    CG termination predicate is OR-synced across chain groups (mismatched
+    iteration counts would desynchronize the groups' ppermute schedules)."""
     return dataclasses.replace(
-        model, geom=ShardedGeometry(x_name=X_AXIS_NAME, t_name=T_AXIS_NAME)
+        model, geom=ShardedGeometry(
+            x_name=X_AXIS_NAME, t_name=T_AXIS_NAME,
+            chain_name=CHAIN_AXIS_NAME if chained else None)
     )
 
 
@@ -51,7 +67,12 @@ def make_sharded_traj_fn(
     for embedding in lax.scan blocks (see runner) or jitting directly.
 
     theta is the *global* [2, Nx, Nt] angle field (sharded or not; the
-    function constrains it to the lattice sharding).
+    function constrains it to the lattice sharding). On a 3D
+    ('chain', 'x', 't') mesh theta is [n_chains, 2, Nx, Nt], `key` is a
+    [n_chains] batch of trajectory keys, chains are sharded over the 'chain'
+    axis (locally vmapped), and the returned stats carry a leading chain
+    axis -- combined data parallelism over chains with lattice domain
+    decomposition, the reference's MPI grid being only the latter.
     """
     if model.hmc.even_odd:
         rt = mesh.shape[T_AXIS_NAME]
@@ -60,14 +81,22 @@ def make_sharded_traj_fn(
                 f"even-odd mode needs an even local Nt per shard; "
                 f"Nt={model.lattice.Nt} over {rt} t-shards gives "
                 f"{model.lattice.Nt // rt}")
-    inner_model = sharded_model(model)
-    field_spec = P(None, X_AXIS_NAME, T_AXIS_NAME)
+    chained = _has_chain_axis(mesh)
+    inner_model = sharded_model(model, chained=chained)
+    field_spec = (P(CHAIN_AXIS_NAME, None, X_AXIS_NAME, T_AXIS_NAME)
+                  if chained else P(None, X_AXIS_NAME, T_AXIS_NAME))
+    stat_spec = P(CHAIN_AXIS_NAME) if chained else P()
+
+    body = partial(sampler.trajectory_given_noise, inner_model)
+    if chained:
+        # vmap over this shard's local chains; dt/beta broadcast
+        body = jax.vmap(body, in_axes=(0, 0, 0, 0, None, None))
 
     traj = jax.shard_map(
-        partial(sampler.trajectory_given_noise, inner_model),
+        body,
         mesh=mesh,
-        in_specs=(field_spec, field_spec, field_spec, P(), P(), P()),
-        out_specs=(field_spec, P()),
+        in_specs=(field_spec, field_spec, field_spec, stat_spec, P(), P()),
+        out_specs=(field_spec, stat_spec),
         check_vma=False,
     )
 
@@ -77,7 +106,11 @@ def make_sharded_traj_fn(
         """dt/beta: optional traced scalar overrides (autotuning, beta scans);
         None bakes the static hmc values in as compile-time constants."""
         theta = jax.lax.with_sharding_constraint(theta, sharding)
-        pi, chi, r = sampler.draw_noise(model, theta.shape, key)
+        if chained:
+            pi, chi, r = jax.vmap(
+                lambda k: sampler.draw_noise(model, theta.shape[1:], k))(key)
+        else:
+            pi, chi, r = sampler.draw_noise(model, theta.shape, key)
         dt = model.hmc.step_size if dt is None else dt
         beta = model.hmc.beta if beta is None else beta
         return traj(theta, pi, chi, r, dt, beta)
@@ -91,9 +124,12 @@ def make_sharded_step(model: SchwingerModel, mesh: Mesh):
 
 
 def make_sharded_observables(model: SchwingerModel, mesh: Mesh):
-    """jit-compiled sharded measurement: theta -> dict of scalar observables."""
-    inner_model = sharded_model(model)
-    field_spec = P(None, X_AXIS_NAME, T_AXIS_NAME)
+    """jit-compiled sharded measurement: theta -> dict of scalar observables
+    (per-chain scalars on a 3D chain mesh)."""
+    chained = _has_chain_axis(mesh)
+    inner_model = sharded_model(model, chained=chained)
+    field_spec = (P(CHAIN_AXIS_NAME, None, X_AXIS_NAME, T_AXIS_NAME)
+                  if chained else P(None, X_AXIS_NAME, T_AXIS_NAME))
 
     def _measure(theta):
         return {
@@ -102,7 +138,9 @@ def make_sharded_observables(model: SchwingerModel, mesh: Mesh):
         }
 
     measure = jax.shard_map(
-        _measure, mesh=mesh, in_specs=(field_spec,), out_specs=P(),
+        jax.vmap(_measure) if chained else _measure,
+        mesh=mesh, in_specs=(field_spec,),
+        out_specs=P(CHAIN_AXIS_NAME) if chained else P(),
         check_vma=False,
     )
     return jax.jit(measure)

@@ -127,8 +127,21 @@ def run_hmc(
     model = SchwingerModel(lattice=lattice, hmc=hmc)
 
     n_chains = run.n_chains
+    chain_sharded = False
     if mesh is not None and n_chains > 1:
-        raise NotImplementedError("mesh + multiple chains not yet supported")
+        from schwingermodel_tpu.parallel.mesh import CHAIN_AXIS_NAME
+
+        if CHAIN_AXIS_NAME not in mesh.axis_names:
+            raise ValueError(
+                "running multiple chains on a device mesh needs a 3D "
+                "('chain', 'x', 't') mesh (parallel.lattice_mesh((rc, rx, rt)))"
+            )
+        rc = mesh.shape[CHAIN_AXIS_NAME]
+        if n_chains % rc:
+            raise ValueError(
+                f"n_chains={n_chains} not divisible by the mesh chain axis "
+                f"({rc})")
+        chain_sharded = True
 
     key = prng.root_key(run.seed)
     k_init, k_run = jax.random.split(key)
@@ -153,6 +166,7 @@ def run_hmc(
         theta, hmc_tuned, tuned_eps = at.autotune(
             model, theta, jax.random.fold_in(k_run, 0x7E0E),
             n_tune=n_tune, target=run.tune_target, traj_fn=tune_traj,
+            traj_handles_chains=chain_sharded,
         )
         n_therm_left = max(0, run.n_therm - n_tune)
         if hmc_tuned.md_steps != hmc.md_steps:
@@ -165,8 +179,9 @@ def run_hmc(
         model = SchwingerModel(lattice=lattice, hmc=hmc)
 
     traj = _traj_fn(model, mesh)
-    if n_chains > 1:
+    if n_chains > 1 and not chain_sharded:
         traj = jax.vmap(traj)
+    # (chain_sharded: the shard_map step consumes the chain batch itself)
 
     def keys_for(start: int, n: int):
         """Per-trajectory keys [n] (or [n, n_chains]) from the run key."""
@@ -186,7 +201,7 @@ def run_hmc(
     # ---- SimData header (reference main.cpp:97-126) ----
     simdata = None
     if write_simdata:
-        rx, rt = (mesh.devices.shape if mesh is not None else (1, 1))
+        rx, rt = (mesh.devices.shape[-2:] if mesh is not None else (1, 1))
         simdata = SimData(os.path.join(
             run.out_dir, simdata_filename(lattice.Nx, lattice.Nt, hmc.m0)))
         simdata.write_header(

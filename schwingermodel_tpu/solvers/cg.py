@@ -46,6 +46,7 @@ def cg_solve(
     x0: jax.Array | None = None,
     tol: float = 1e-10,
     max_iter: int = 10000,
+    sync_pred: Callable[[jax.Array], jax.Array] | None = None,
 ) -> CGResult:
     """Solve A x = b for hermitian positive-definite A.
 
@@ -53,6 +54,13 @@ def cg_solve(
     (a geometry-aware reduction). For hermitian A all CG scalars are real,
     so we keep them real (the reference carries complex alpha/beta whose
     imaginary parts are rounding noise, conjugate_gradient.cpp:14).
+
+    sync_pred (e.g. Geometry.sync_any): ORs the continue-predicate across
+    data-parallel device groups so every group runs the same number of
+    iterations -- required when apply_A contains collectives whose schedule
+    must stay aligned across groups (mismatched ppermute counts deadlock).
+    Extra iterations on already-converged groups are harmless, exactly like
+    JAX's frozen vmap lanes.
     """
     if x0 is None:
         x0 = b
@@ -65,7 +73,8 @@ def cg_solve(
 
     def cond(carry):
         _, _, _, rho, k = carry
-        return jnp.logical_and(rho >= stop2, k < max_iter)
+        cont = jnp.logical_and(rho >= stop2, k < max_iter)
+        return sync_pred(cont) if sync_pred is not None else cont
 
     def body(carry):
         x, r, d, rho, k = carry

@@ -113,6 +113,75 @@ def test_sharded_trajectory_matches_single_device(rng, mesh_shape):
     assert bool(stats_n.cg_converged) and bool(stats_1.cg_converged)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 1, 2), (2, 1, 1)])
+def test_chain_sharded_trajectory_matches_vmap(rng, mesh_shape):
+    """Chain data parallelism x lattice sharding on a 3D ('chain','x','t')
+    mesh == plain vmapped single-device chains, same per-chain keys.
+
+    The reference has no multi-chain capability at all (one chain per MPI
+    job); this validates the combined dp+domain-decomposition sharding."""
+    mesh = _mesh(mesh_shape)
+    rc = mesh_shape[0]
+    n_chains = 2 * rc  # exercise the local vmap inside shard_map too
+    lat = LatticeParams(Nx=8, Nt=8, real_dtype="float64")
+    hmc = HMCParams(beta=2.0, m0=0.1, md_steps=6, trajectory_length=0.6,
+                    cg=CGParams(tol=1e-12, max_iter=10000))
+    model = SchwingerModel(lattice=lat, hmc=hmc)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), n_chains)
+    theta = jnp.asarray(random_theta(rng, 8, 8, batch=(n_chains,)))
+
+    theta_v, stats_v = jax.jit(jax.vmap(
+        lambda th, k: sampler.hmc_trajectory(model, th, k)
+    ))(theta, keys)
+
+    step = make_sharded_step(model, mesh)
+    theta_s, stats_s = step(theta, keys)
+
+    np.testing.assert_allclose(
+        np.asarray(theta_s), np.asarray(theta_v), rtol=0, atol=1e-11
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats_s.accepted), np.asarray(stats_v.accepted)
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_s.delta_H), np.asarray(stats_v.delta_H),
+        rtol=1e-8, atol=1e-10,
+    )
+    assert bool(jnp.all(stats_s.cg_converged))
+
+    # per-chain sharded observables agree with the unsharded model
+    measure = make_sharded_observables(model, mesh)
+    obs = measure(theta_s)
+    want = jax.vmap(model.plaquette_sum)(theta_s)
+    np.testing.assert_allclose(
+        np.asarray(obs["plaquette_sum"]), np.asarray(want), rtol=1e-12
+    )
+
+
+def test_chain_sharded_runner_end_to_end(tmp_path, rng):
+    """run_hmc with n_chains sharded over a 3D mesh runs and matches the
+    vmapped (unsharded) runner's observable chains."""
+    from schwingermodel_tpu.config import RunParams
+    from schwingermodel_tpu.runner import run_hmc
+
+    mesh = _mesh((2, 1, 2))
+    lat = LatticeParams(Nx=8, Nt=8, real_dtype="float64")
+    hmc = HMCParams(beta=2.0, m0=0.1, md_steps=6, trajectory_length=0.6,
+                    cg=CGParams(tol=1e-12, max_iter=10000))
+    run = RunParams(n_therm=4, n_meas=6, n_steps=1, n_chains=4, seed=3,
+                    out_dir=str(tmp_path))
+
+    res_sharded = run_hmc(lat, hmc, run, mesh=mesh)
+    res_plain = run_hmc(lat, hmc, run)
+
+    np.testing.assert_allclose(
+        res_sharded.chains["plaquette"], res_plain.chains["plaquette"],
+        rtol=0, atol=1e-10,
+    )
+    assert res_sharded.acceptance_rate == res_plain.acceptance_rate
+
+
 def test_sharded_observables(rng):
     mesh = _mesh((2, 4))
     lat = LatticeParams(Nx=8, Nt=8, real_dtype="float64")
