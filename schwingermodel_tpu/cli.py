@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-simdata", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(also honored: JAX_COORDINATOR_ADDRESS / SLURM / "
+                        "Cloud TPU autodetection)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR "
                         "(view with XProf/TensorBoard)")
@@ -120,8 +128,16 @@ def main(argv=None) -> int:
     )
     from schwingermodel_tpu.io import ctxt
     from schwingermodel_tpu.io.checkpoint import load_checkpoint, save_checkpoint
-    from schwingermodel_tpu.parallel import lattice_mesh
+    from schwingermodel_tpu.parallel import lattice_mesh, multihost
     from schwingermodel_tpu.runner import run_hmc
+
+    # Multi-host: bring up jax.distributed before the backend is touched
+    # (reference: MPI_Init before anything else, main.cpp:13). No-op for a
+    # plain single-process run.
+    distributed = multihost.maybe_initialize(
+        args.coordinator, args.num_processes, args.process_id)
+    primary = multihost.is_primary()
+    echo = print if primary else (lambda *a, **k: None)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = args.dtype or ("float32" if on_tpu else "float64")
@@ -201,7 +217,14 @@ def main(argv=None) -> int:
     rc = shape[0] if len(shape) == 3 else 1
     rx, rt = shape[-2:]
     n_mesh = rc * rx * rt
-    if n_mesh > 1:
+    if distributed and n_mesh <= 1:
+        # multi-host with no explicit mesh: lattice axes on local ICI
+        # devices, chains across hosts over DCN (parallel/multihost.py)
+        mesh = multihost.multihost_mesh(lattice.Nx, lattice.Nt)
+        rc, rx, rt = mesh.devices.shape
+        if run.n_chains % rc:
+            run = RunParams(**{**run.__dict__, "n_chains": rc})
+    elif n_mesh > 1:
         n_dev = len(jax.devices())
         if n_mesh > n_dev:
             print(f"error: mesh {'x'.join(map(str, shape))} needs {n_mesh} "
@@ -219,24 +242,24 @@ def main(argv=None) -> int:
         mesh = lattice_mesh(shape)
 
     kappa = 1.0 / (2.0 * (hmc.m0 + 2.0))
-    print("*" * 70)
-    print("*                              PARAMETERS")
-    print(f"* Nx = {lattice.Nx}, Nt = {lattice.Nt}")
-    print(f"* m0 = {hmc.m0:g}, kappa = {kappa:g}")
-    print(f"* beta = {hmc.beta:g}" + ("  (quenched)" if hmc.quenched else ""))
-    print(f"* Thermalization confs = {run.n_therm}")
-    print(f"* Measurement confs = {run.n_meas}")
-    print(f"* Decorrelation steps (confs dropped between measurements) = {run.n_steps}")
-    print(f"* Trajectory length = {hmc.trajectory_length:g}, "
+    echo("*" * 70)
+    echo("*                              PARAMETERS")
+    echo(f"* Nx = {lattice.Nx}, Nt = {lattice.Nt}")
+    echo(f"* m0 = {hmc.m0:g}, kappa = {kappa:g}")
+    echo(f"* beta = {hmc.beta:g}" + ("  (quenched)" if hmc.quenched else ""))
+    echo(f"* Thermalization confs = {run.n_therm}")
+    echo(f"* Measurement confs = {run.n_meas}")
+    echo(f"* Decorrelation steps (confs dropped between measurements) = {run.n_steps}")
+    echo(f"* Trajectory length = {hmc.trajectory_length:g}, "
           f"Leapfrog steps = {hmc.md_steps}, "
           f"Integration step = {hmc.step_size:g}")
-    print(f"* CG max iterations = {hmc.cg.max_iter}, CG tolerance = {hmc.cg.tol:g}")
+    echo(f"* CG max iterations = {hmc.cg.max_iter}, CG tolerance = {hmc.cg.tol:g}")
     mesh_desc = f"{rx}x{rt}" + (f" x {rc} chain groups" if rc > 1 else "")
-    print(f"* Device mesh = {mesh_desc} on {jax.default_backend()} "
+    echo(f"* Device mesh = {mesh_desc} on {jax.default_backend()} "
           f"({len(jax.devices())} device(s) visible)")
-    print(f"* Chains = {run.n_chains}, dtype = {lattice.real_dtype}, "
+    echo(f"* Chains = {run.n_chains}, dtype = {lattice.real_dtype}, "
           f"seed = {run.seed}")
-    print("*" * 70)
+    echo("*" * 70)
 
     from schwingermodel_tpu.utils.metrics import profiler_trace
 
@@ -245,23 +268,23 @@ def main(argv=None) -> int:
             lattice, hmc, run,
             initial_theta=initial_theta, start_traj_index=start_traj,
             measure_condensate=args.condensate, n_noise=args.n_noise,
-            mesh=mesh, progress=lambda s: print(s),
+            mesh=mesh, progress=lambda s: echo(s),
             write_simdata=not args.no_simdata,
         )
     if args.profile:
         print(f"Profiler trace written to {args.profile}")
 
-    print(f"Average plaquette value / volume: Ep = {result.Ep:.17g} "
+    echo(f"Average plaquette value / volume: Ep = {result.Ep:.17g} "
           f"dEp = {result.dEp:.17g}")
-    print(f"Average gauge action / volume: gS = {result.gS:.17g} "
+    echo(f"Average gauge action / volume: gS = {result.gS:.17g} "
           f"dgS = {result.dgS:.17g}")
     if args.condensate:
         s = result.summary("chiral_condensate")
         print(f"Chiral condensate: {s['mean']:.10g} +- {s['error']:.3g} "
               f"(tau_int {s['tau_int']:.2f})")
-    print(f"Acceptance rate: {result.acceptance_rate:.17g}")
-    print(f"Execution time = {result.elapsed_seconds:.6f} s")
-    print("-------------------------------")
+    echo(f"Acceptance rate: {result.acceptance_rate:.17g}")
+    echo(f"Execution time = {result.elapsed_seconds:.6f} s")
+    echo("-------------------------------")
     if result.n_ill:
         print(f"WARNING: {result.n_ill} ill (CG-failed) configurations dumped")
 

@@ -7,6 +7,12 @@ and MPI_Allreduce becomes lax.psum.
 """
 
 from schwingermodel_tpu.parallel.mesh import lattice_mesh, choose_mesh_shape
+from schwingermodel_tpu.parallel.multihost import (
+    gather_global,
+    is_primary,
+    maybe_initialize,
+    multihost_mesh,
+)
 from schwingermodel_tpu.parallel.sharded import make_sharded_step, theta_sharding
 
 __all__ = [
@@ -14,4 +20,8 @@ __all__ = [
     "choose_mesh_shape",
     "make_sharded_step",
     "theta_sharding",
+    "maybe_initialize",
+    "is_primary",
+    "multihost_mesh",
+    "gather_global",
 ]

@@ -45,6 +45,7 @@ from schwingermodel_tpu.hmc import sampler
 from schwingermodel_tpu.io import ctxt
 from schwingermodel_tpu.io.simdata import SimData, simdata_filename
 from schwingermodel_tpu.models.schwinger import SchwingerModel
+from schwingermodel_tpu.parallel import multihost
 from schwingermodel_tpu.utils import prng, statistics
 from schwingermodel_tpu.utils.metrics import PerfMonitor
 
@@ -200,7 +201,7 @@ def run_hmc(
 
     # ---- SimData header (reference main.cpp:97-126) ----
     simdata = None
-    if write_simdata:
+    if write_simdata and multihost.is_primary():
         rx, rt = (mesh.devices.shape[-2:] if mesh is not None else (1, 1))
         simdata = SimData(os.path.join(
             run.out_dir, simdata_filename(lattice.Nx, lattice.Nt, hmc.m0)))
@@ -233,7 +234,11 @@ def run_hmc(
 
     def dump_ill(theta_now):
         nonlocal n_ill
-        th = np.asarray(theta_now).reshape(-1, 2, lattice.Nx, lattice.Nt)
+        th = multihost.gather_global(theta_now)
+        if not multihost.is_primary():
+            n_ill += th.size // (2 * lattice.Nx * lattice.Nt)
+            return
+        th = th.reshape(-1, 2, lattice.Nx, lattice.Nt)
         for c in range(th.shape[0]):
             name = ctxt.ill_conf_filename(
                 lattice.Nx, lattice.Nt, hmc.beta, hmc.m0, n_ill)
@@ -385,8 +390,14 @@ def run_hmc(
 
 
 def _save_confs(theta, index, lattice, hmc, run, n_chains):
-    """Write configuration(s) like the reference (hmc.cpp:201-208)."""
-    th = np.asarray(theta).reshape(-1, 2, lattice.Nx, lattice.Nt)
+    """Write configuration(s) like the reference (hmc.cpp:201-208).
+
+    Multi-host: gather the sharded field to every process (the TPU-native
+    MPI_Gatherv, gauge_conf.cpp:390-395) and write on process 0 only."""
+    th = multihost.gather_global(theta)
+    if not multihost.is_primary():
+        return
+    th = th.reshape(-1, 2, lattice.Nx, lattice.Nt)
     for c, th_c in enumerate(th):
         name = ctxt.conf_filename(
             lattice.Nx, lattice.Nt, hmc.beta, hmc.m0,
