@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cg-tol", type=float, default=None,
                    help="CG relative tolerance (reference 1e-10 in f64)")
     p.add_argument("--cg-max-iter", type=int, default=10000)
+    p.add_argument("--cg-refine", dest="cg_refine", action="store_true",
+                   default=None,
+                   help="mixed-precision refinement on f32 runs: f32 inner "
+                        "solves + f64 true-residual accumulation, meeting "
+                        "the reference's 1e-10 contract on TPU (default: on "
+                        "for float32 runs; --no-cg-refine for the loose "
+                        "f32-only solver)")
+    p.add_argument("--no-cg-refine", dest="cg_refine", action="store_false")
+    p.add_argument("--cg-inner-tol", type=float, default=1e-5,
+                   help="relative tolerance of each f32 inner solve under "
+                        "--cg-refine")
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
                    help="default: float32 on TPU, float64 on CPU")
     p.add_argument("--seed", type=int, default=0)
@@ -143,6 +154,15 @@ def main(argv=None) -> int:
     dtype = args.dtype or ("float32" if on_tpu else "float64")
     if dtype == "float64" and not on_tpu:
         jax.config.update("jax_enable_x64", True)
+    # Mixed-precision refinement: default ON for f32 runs, so the shipped
+    # TPU configuration meets the reference's 1e-10 solver contract
+    # (src/main.cpp:26-27) out of the box. Needs x64 for the f64 residual.
+    cg_refine = args.cg_refine if args.cg_refine is not None else (
+        dtype == "float32")
+    if dtype != "float32":
+        cg_refine = False
+    if cg_refine:
+        jax.config.update("jax_enable_x64", True)
 
     # ---- parameters: flags, else reference-style stdin prompts ----
     need_stdin = any(
@@ -185,14 +205,15 @@ def main(argv=None) -> int:
             run = RunParams(**{**run.__dict__, "n_meas": args.nmeas, "n_therm": 0})
     else:
         cg_tol = args.cg_tol if args.cg_tol is not None else (
-            1e-6 if dtype == "float32" else 1e-10)
+            1e-6 if (dtype == "float32" and not cg_refine) else 1e-10)
         lattice = LatticeParams(Nx=args.nx, Nt=args.nt, real_dtype=dtype)
         even_odd = args.even_odd and lattice.Nx % 2 == 0 and lattice.Nt % 2 == 0
         hmc = HMCParams(
             beta=args.beta, m0=args.m0, md_steps=args.md_steps,
             trajectory_length=args.tau, quenched=args.quenched,
             even_odd=even_odd, cg_forecast=args.cg_forecast,
-            cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter),
+            cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter,
+                        refine=cg_refine, inner_tol=args.cg_inner_tol),
         )
         mesh_shape = (args.ranks_x, args.ranks_t)
         if args.ranks_chain > 1:
@@ -223,7 +244,12 @@ def main(argv=None) -> int:
         mesh = multihost.multihost_mesh(lattice.Nx, lattice.Nt)
         rc, rx, rt = mesh.devices.shape
         if run.n_chains % rc:
-            run = RunParams(**{**run.__dict__, "n_chains": rc})
+            # round UP to the next multiple of the chain axis: never silently
+            # reduce the statistics the user asked for
+            n_new = rc * (-(-run.n_chains // rc))
+            echo(f"note: --chains {run.n_chains} rounded up to {n_new} "
+                 f"(chain mesh axis = {rc})")
+            run = RunParams(**{**run.__dict__, "n_chains": n_new})
     elif n_mesh > 1:
         n_dev = len(jax.devices())
         if n_mesh > n_dev:
@@ -253,7 +279,10 @@ def main(argv=None) -> int:
     echo(f"* Trajectory length = {hmc.trajectory_length:g}, "
           f"Leapfrog steps = {hmc.md_steps}, "
           f"Integration step = {hmc.step_size:g}")
-    echo(f"* CG max iterations = {hmc.cg.max_iter}, CG tolerance = {hmc.cg.tol:g}")
+    refine_desc = (f" (mixed-precision: f32 inner tol {hmc.cg.inner_tol:g} "
+                   f"+ f64 refinement)" if hmc.cg.refine else "")
+    echo(f"* CG max iterations = {hmc.cg.max_iter}, "
+         f"CG tolerance = {hmc.cg.tol:g}{refine_desc}")
     mesh_desc = f"{rx}x{rt}" + (f" x {rc} chain groups" if rc > 1 else "")
     echo(f"* Device mesh = {mesh_desc} on {jax.default_backend()} "
           f"({len(jax.devices())} device(s) visible)")
@@ -288,7 +317,9 @@ def main(argv=None) -> int:
     if result.n_ill:
         print(f"WARNING: {result.n_ill} ill (CG-failed) configurations dumped")
 
-    if args.checkpoint:
+    if args.checkpoint and primary:
+        # primary-only, like every other writer (result.theta is already a
+        # globally gathered numpy copy -- runner.RunResult)
         save_checkpoint(
             args.checkpoint, theta=result.theta, key=result.key,
             traj_index=result.traj_index, lattice=lattice, hmc=hmc, run=run,

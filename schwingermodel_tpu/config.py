@@ -63,6 +63,18 @@ class CGParams:
 
     tol: float = 1e-10
     max_iter: int = 10000
+    # Mixed-precision iterative refinement (solvers/refine.py): on f32 runs,
+    # accumulate the solution and the true residual in f64 while the inner
+    # CG sweeps run in fast f32 (fused Pallas kernel or jnp), so `tol` is met
+    # in the reference's own f64 sense (src/main.cpp:26-27) on TPU hardware.
+    # Ignored when the working dtype is already float64. Needs
+    # jax_enable_x64 (the CLI turns it on when this is set).
+    refine: bool = False
+    # Relative tolerance of each f32 inner solve; the refinement loop
+    # contracts the true residual by ~max(inner_tol, kappa*eps_f32) per pass.
+    inner_tol: float = 1e-5
+    # Cap on refinement passes (2-4 typical; stagnation exits early).
+    max_outer: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

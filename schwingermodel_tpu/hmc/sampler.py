@@ -91,8 +91,9 @@ def trajectory_given_noise(
     if quenched:
         sf_old = 0.0
     elif model.hmc.exact_initial_fermion_action:
+        chi_a = chi.astype(jnp.complex128) if model._refine_active() else chi
         sf_old = model.geom.gsum(
-            jnp.sum(jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=-3)
+            jnp.sum(jnp.real(chi_a) ** 2 + jnp.imag(chi_a) ** 2, axis=-3)
         )
     else:
         sf_old, stats = model.fermion_action(theta, phi, stats)

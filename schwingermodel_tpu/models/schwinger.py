@@ -104,6 +104,55 @@ class SchwingerModel:
         """Dhat/Dhat^+ for this configuration (even-odd mode, ops/eo.py)."""
         return eo.EOOperators(self.geom, self.fermion_links(theta), self.hmc.m0)
 
+    # ---------- mixed-precision refinement (solvers/refine.py) ----------
+
+    def _refine_active(self) -> bool:
+        """True when solves should meet cg.tol in f64 via iterative
+        refinement: requested, and the working dtype is f32 (an f64 run
+        already solves at full precision natively)."""
+        if not self.hmc.cg.refine:
+            return False
+        if self.lattice.rdtype != jnp.float32:
+            return False
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "cg.refine needs jax_enable_x64 for the f64 residual "
+                "accumulation (the CLI enables it with --cg-refine)")
+        return True
+
+    def fermion_links_hi(self, theta: jax.Array) -> jax.Array:
+        """Antiperiodic-folded links in complex128, from the f32 angles.
+
+        The f32 theta values define the gauge configuration exactly (they are
+        exact binary numbers); exp(i theta) evaluated in f64 then defines the
+        reference-precision operator for the true-residual computation."""
+        th = theta.astype(jnp.float64)
+        U = gops.links(th, jnp.complex128)
+        sign = dops.make_sign_mask(
+            self.geom, th.shape[-2], th.shape[-1], self.lattice.Nt,
+            jnp.float64)
+        return dops.fermion_links(U, sign)
+
+    def _solve_eo_refined(self, theta: jax.Array, ops: eo.EOOperators,
+                          b: jax.Array, x0=None) -> CGResult:
+        """(Dhat Dhat^+)^{-1} b meeting cg.tol in f64: f32 inner solves
+        (fused Pallas kernel when enabled) + f64 residual refinement."""
+        from schwingermodel_tpu.solvers.refine import cg_refine
+
+        ops_hi = eo.EOOperators(self.geom, self.fermion_links_hi(theta),
+                                self.hmc.m0)
+
+        def inner(rhs, x0_lo):
+            res = self._solve_eo_lo(ops, rhs, x0=x0_lo,
+                                    tol=self.hmc.cg.inner_tol)
+            return res.x, res.iters
+
+        return cg_refine(
+            ops_hi.normal, inner, b, self._dot_re,
+            tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer,
+            x0=x0,
+        )
+
     def _use_fused_cg(self) -> bool:
         """Resolve HMCParams.fused_cg (None = auto; trace-time decision)."""
         if self.hmc.fused_cg is not None:
@@ -115,15 +164,18 @@ class SchwingerModel:
             and jax.default_backend() == "tpu"
         )
 
-    def _solve_eo(self, ops: eo.EOOperators, b: jax.Array, x0=None) -> CGResult:
-        """(Dhat Dhat^+)^{-1} b: fused Pallas kernel when enabled, else the
-        jnp CG (identical semantics; see ops/pallas_eo.py)."""
+    def _solve_eo_lo(self, ops: eo.EOOperators, b: jax.Array, x0=None,
+                     tol: float | None = None) -> CGResult:
+        """Working-precision (Dhat Dhat^+)^{-1} b: fused Pallas kernel when
+        enabled, else the jnp CG (identical semantics; see ops/pallas_eo.py).
+        `tol` overrides cg.tol (the refinement loop passes cg.inner_tol)."""
+        tol = self.hmc.cg.tol if tol is None else tol
         if self._use_fused_cg():
             from schwingermodel_tpu.ops.pallas_eo import cg_solve_eo_fused
 
             res = cg_solve_eo_fused(
                 ops.Ue, ops.Uo, b, b if x0 is None else x0,
-                m0=float(self.hmc.m0), tol=float(self.hmc.cg.tol),
+                m0=float(self.hmc.m0), tol=float(tol),
                 max_iter=int(self.hmc.cg.max_iter),
                 interpret=jax.default_backend() != "tpu",
             )
@@ -131,6 +183,51 @@ class SchwingerModel:
                             rel_residual=res.rel_residual)
         return cg_solve(
             ops.normal, b, self._dot_re, x0=x0,
+            tol=tol, max_iter=self.hmc.cg.max_iter,
+            sync_pred=self.geom.sync_any,
+        )
+
+    def _solve_eo(self, theta: jax.Array, ops: eo.EOOperators, b: jax.Array,
+                  x0=None) -> CGResult:
+        """(Dhat Dhat^+)^{-1} b at the configured precision contract:
+        refinement to the f64 cg.tol when active, else the working-precision
+        solver at cg.tol."""
+        if self._refine_active():
+            return self._solve_eo_refined(theta, ops, b, x0=x0)
+        return self._solve_eo_lo(ops, b, x0=x0)
+
+    def _solve_full(self, theta: jax.Array, Uf: jax.Array, b: jax.Array,
+                    x0=None) -> CGResult:
+        """(D D^+)^{-1} b for the full (non-even-odd) operator, with the same
+        precision dispatch as _solve_eo."""
+        m0 = self.hmc.m0
+
+        def apply_lo(v):
+            return dops.dirac_normal(self.geom, Uf, v, m0)
+
+        if self._refine_active():
+            from schwingermodel_tpu.solvers.refine import cg_refine
+
+            Uf_hi = self.fermion_links_hi(theta)
+
+            def apply_hi(v):
+                return dops.dirac_normal(self.geom, Uf_hi, v, m0)
+
+            def inner(rhs, x0_lo):
+                res = cg_solve(
+                    apply_lo, rhs, self._dot_re, x0=x0_lo,
+                    tol=self.hmc.cg.inner_tol,
+                    max_iter=self.hmc.cg.max_iter,
+                    sync_pred=self.geom.sync_any,
+                )
+                return res.x, res.iters
+
+            return cg_refine(
+                apply_hi, inner, b, self._dot_re,
+                tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer, x0=x0)
+
+        return cg_solve(
+            apply_lo, b, self._dot_re, x0=x0,
             tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
             sync_pred=self.geom.sync_any,
         )
@@ -180,24 +277,24 @@ class SchwingerModel:
 
         if self.hmc.even_odd:
             ops = self.eo_ops(theta)
-            res = self._solve_eo(ops, phi, x0=x0)
+            res = self._solve_eo(theta, ops, phi, x0=x0)
             psi = res.x                                 # (Dhat Dhat^+)^{-1} Phi
-            chi_p = ops.dhat_dag(psi)
+            # force math runs at working precision (its accuracy is bounded
+            # by the f32 links anyway); psi itself is returned at solve
+            # precision so chronological forecasting keeps the f64 guess
+            psi_w = psi.astype(self.lattice.cdtype)
+            chi_p = ops.dhat_dag(psi_w)
             F = eo.eo_fermion_force(
-                self.fermion_links, self.geom, m0, theta, psi, chi_p)
+                self.fermion_links, self.geom, m0, theta, psi_w, chi_p)
             F = F + gops.gauge_force(self.geom, U, beta)
             return F, stats.merge(res), psi
 
         Uf = dops.fermion_links(U, self.sign_mask(theta))
-        res = cg_solve(
-            lambda v: dops.dirac_normal(self.geom, Uf, v, m0),
-            phi, self._dot_re, x0=x0,
-            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-            sync_pred=self.geom.sync_any,
-        )
+        res = self._solve_full(theta, Uf, phi, x0=x0)
         psi = res.x                                     # (DD^+)^{-1} Phi
-        chi_p = dops.dirac_dagger(self.geom, Uf, psi, m0)   # D^+ psi
-        F = dops.fermion_force(self.geom, Uf, psi, chi_p)
+        psi_w = psi.astype(self.lattice.cdtype)
+        chi_p = dops.dirac_dagger(self.geom, Uf, psi_w, m0)   # D^+ psi
+        F = dops.fermion_force(self.geom, Uf, psi_w, chi_p)
         F = F + gops.gauge_force(self.geom, U, beta)
         return F, stats.merge(res), psi
 
@@ -205,6 +302,13 @@ class SchwingerModel:
 
     def gauge_action(self, theta: jax.Array, beta=None) -> jax.Array:
         beta = self.hmc.beta if beta is None else beta
+        if self._refine_active():
+            # Metropolis-grade energies: at 64x64 an f32 plaquette sum
+            # carries O(1e-2) absolute error in S_g -- comparable to dH
+            # itself. Two f64 evaluations per trajectory are negligible
+            # next to the CG work.
+            U_hi = gops.links(theta.astype(jnp.float64), jnp.complex128)
+            return gops.gauge_action(self.geom, U_hi, beta)
         return gops.gauge_action(self.geom, self.links(theta), beta)
 
     def fermion_action(self, theta: jax.Array, phi: jax.Array, stats: SolveStats,
@@ -213,21 +317,24 @@ class SchwingerModel:
         part, src/hmc.cpp:115-117); the Dhat analog in even-odd mode.
 
         x0: optional CG starting guess (the trajectory passes the final
-        force solve's psi -- the same system at a half-step-away theta)."""
+        force solve's psi -- the same system at a half-step-away theta).
+
+        Under cg.refine the solution is f64-accurate, and the action dot
+        runs in f64 (conj(phi)*x promotes), so S_f enters the Metropolis
+        dH at the reference's solver precision."""
         if self.hmc.even_odd:
-            res = self._solve_eo(self.eo_ops(theta), phi, x0=x0)
+            res = self._solve_eo(theta, self.eo_ops(theta), phi, x0=x0)
         else:
             Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
-            res = cg_solve(
-                lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0),
-                phi, self._dot_re, x0=x0,
-                tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-                sync_pred=self.geom.sync_any,
-            )
+            res = self._solve_full(theta, Uf, phi, x0=x0)
         return self._dot_re(phi, res.x), stats.merge(res)
 
     def kinetic(self, pi: jax.Array) -> jax.Array:
-        """0.5 sum pi^2 (reference HMC::Hamiltonian, src/hmc.cpp:138-144)."""
+        """0.5 sum pi^2 (reference HMC::Hamiltonian, src/hmc.cpp:138-144).
+
+        Accumulated in f64 under cg.refine (Metropolis-grade dH)."""
+        if self._refine_active():
+            pi = pi.astype(jnp.float64)
         return 0.5 * self.geom.gsum(jnp.sum(pi * pi, axis=-3))
 
     def hamiltonian(self, theta: jax.Array, pi: jax.Array, phi: jax.Array,

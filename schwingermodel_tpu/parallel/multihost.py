@@ -76,8 +76,17 @@ def maybe_initialize(
     if process_id is None:
         v = os.environ.get("JAX_PROCESS_ID")
         process_id = int(v) if v else None
-    auto = any(k in os.environ for k in (
-        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES"))
+    # A cluster signal must imply MULTIPLE tasks: a bare SLURM_JOB_ID (any
+    # single-task job on a SLURM-managed box) must not flip the CLI into
+    # distributed mode and silently reshard the lattice.
+    def _multi(var):
+        v = os.environ.get(var)
+        try:
+            return v is not None and int(v) > 1
+        except ValueError:
+            return False
+    auto = (_multi("SLURM_NTASKS") or _multi("OMPI_COMM_WORLD_SIZE")
+            or "TPU_WORKER_HOSTNAMES" in os.environ)
     if coordinator_address is None and not auto:
         return False
     try:
@@ -124,10 +133,22 @@ def multihost_mesh(
     per_chain = n_local // chains_per_host_group
     rx, rt = choose_mesh_shape(per_chain, Nx, Nt)
     rc = jax.process_count() * chains_per_host_group
-    # jax.devices() is globally ordered process-major, so reshaping to
-    # (rc, rx, rt) keeps each (rx, rt) lattice plane inside one process:
-    # halo ppermutes never cross DCN.
-    dev_grid = np.asarray(jax.devices()).reshape(rc, rx, rt)
+    # Group devices explicitly by owning process (NOT by relying on
+    # jax.devices() being process-major -- on TPU topologies device ids can
+    # follow physical coordinates): each (rx, rt) lattice plane is built from
+    # a single process's devices, so halo ppermutes never cross DCN.
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    by_proc = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, []).append(d)
+    grids = [np.asarray(ds).reshape(chains_per_host_group, rx, rt)
+             for _, ds in sorted(by_proc.items())]
+    dev_grid = np.concatenate(grids, axis=0)
+    for c in range(rc):
+        owners = {d.process_index for d in dev_grid[c].flat}
+        assert len(owners) == 1, (
+            f"lattice plane {c} spans processes {owners}; halo traffic "
+            f"would cross DCN")
     return Mesh(dev_grid, (CHAIN_AXIS_NAME, X_AXIS_NAME, T_AXIS_NAME))
 
 

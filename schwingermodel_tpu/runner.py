@@ -221,6 +221,17 @@ def run_hmc(
             return th, st
         return jax.lax.scan(body, theta, keys)
 
+    # Host-safe scalar reductions of per-trajectory stats. Computed *inside*
+    # jit so the outputs are replicated scalars: in multi-host mode the raw
+    # stats arrays are sharded across processes (out_specs P('chain')) and
+    # np.asarray on them would raise (non-fully-addressable); replicated
+    # scalars are addressable everywhere.
+    @jax.jit
+    def _stat_scalars(st):
+        return (jnp.sum(st.accepted.astype(jnp.int32)),
+                jnp.sum(st.cg_iters),
+                jnp.all(st.cg_converged))
+
     def measure_one(theta_c, key_c):
         return _measure(model, theta_c, key_c,
                         with_condensate=measure_condensate, n_noise=n_noise)
@@ -256,9 +267,10 @@ def run_hmc(
         while done < n_therm_left:
             n = min(therm_chunk, n_therm_left - done)
             theta, st = block(theta, keys_for(traj_index, n))
-            if not bool(jnp.all(st.cg_converged)):
+            _, it_s, conv_s = _stat_scalars(st)
+            if not bool(conv_s):
                 dump_ill(theta)
-            it = int(jnp.sum(st.cg_iters))
+            it = int(it_s)
             cg_iters_total += it
             perf.add(trajectories=n * max(n_chains, 1), cg_iters=it)
             done += n
@@ -278,12 +290,12 @@ def run_hmc(
     traj_index += 1
     mk = meas_keys_for(run.n_meas)
     o0 = measure(theta, jax.tree.map(lambda a: a[0], mk))
-    accepted = [np.asarray(st0.accepted).sum(keepdims=True)]
-    conv_flags = [np.asarray(jnp.all(st0.cg_converged), dtype=bool).reshape(1)]
-    cg_iters_total += int(jnp.sum(st0.cg_iters))
+    acc0, it0, conv0 = _stat_scalars(st0)
+    accepted = [np.asarray(acc0).reshape(1)]
+    cg_iters_total += int(it0)
     meas_list = [o0]
     updates_total = int(np.prod(np.shape(st0.accepted)))
-    if not bool(conv_flags[0][0]):
+    if not bool(conv0):
         dump_ill(theta)
     if run.save_conf:
         _save_confs(theta, 0, lattice, hmc, run, n_chains)
@@ -293,16 +305,16 @@ def run_hmc(
             theta, st = block(theta, keys_for(traj_index, per_meas))
             traj_index += per_meas
             o = measure(theta, jax.tree.map(lambda a: a[i], mk))
-            if not bool(jnp.all(st.cg_converged)):
+            acc_s, it_s, conv_s = _stat_scalars(st)
+            if not bool(conv_s):
                 dump_ill(theta)
-            accepted.append(np.asarray(st.accepted).sum(keepdims=True))
-            conv_flags.append(np.ones(1, dtype=bool))
-            cg_iters_total += int(jnp.sum(st.cg_iters))
+            accepted.append(np.asarray(acc_s).reshape(1))
+            cg_iters_total += int(it_s)
             updates_total += int(np.prod(np.shape(st.accepted)))
             meas_list.append(o)
             _save_confs(theta, i, lattice, hmc, run, n_chains)
         chains = {
-            k: np.stack([np.asarray(m[k]) for m in meas_list])
+            k: np.stack([multihost.gather_global(m[k]) for m in meas_list])
             for k in meas_list[0]
         }
         accepted_total = int(np.sum(np.concatenate(accepted)))
@@ -340,11 +352,12 @@ def run_hmc(
             dump_ill(theta)
         chains = {
             k: np.concatenate(
-                [np.asarray(o0[k])[None], np.asarray(o_rest[k])], axis=0)
+                [multihost.gather_global(o0[k])[None],
+                 multihost.gather_global(o_rest[k])], axis=0)
             for k in o0
         }
     else:
-        chains = {k: np.asarray(v)[None] for k, v in o0.items()}
+        chains = {k: multihost.gather_global(v)[None] for k, v in o0.items()}
         accepted_total = int(np.sum(np.concatenate(accepted)))
 
     perf.add(trajectories=updates_total,
@@ -371,7 +384,10 @@ def run_hmc(
         Ep=Ep, dEp=dEp, gS=gS, dgS=dgS,
         acceptance_rate=acceptance, elapsed_seconds=elapsed,
         chains=chains, n_ill=n_ill,
-        theta=np.asarray(theta), key=np.asarray(key),
+        theta=multihost.gather_global(theta).reshape(
+            (-1, 2, lattice.Nx, lattice.Nt) if n_chains > 1
+            else (2, lattice.Nx, lattice.Nt)),
+        key=np.asarray(key),
         traj_index=traj_index, cg_iters_total=cg_iters_total,
         perf=perf.summary(),
     )

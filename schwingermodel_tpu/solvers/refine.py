@@ -1,0 +1,99 @@
+"""Mixed-precision CG: f32 inner solves + f64 iterative refinement.
+
+The reference's solver contract is a relative residual of 1e-10 in double
+precision (src/main.cpp:26-27; criterion ||r|| < tol*||b||,
+src/conjugate_gradient.cpp:45). A plain f32 CG cannot reach that: the
+attainable relative residual is floored near kappa(A) * eps_f32 ~ 1e-6.
+TPUs are f32-native, so running the whole solve in (emulated, ~10x slower)
+f64 would forfeit the hardware. Standard mixed-precision iterative
+refinement gets both:
+
+    x_0 = x0 (f64);  repeat:
+        r_k = b - A x_k          computed in f64   (the TRUE residual)
+        solve A d = r_k          in f32 to a loose inner tolerance
+                                 (the existing fused Pallas kernel or the
+                                 jnp CG -- hundreds of fast iterations)
+        x_{k+1} = x_k + d        accumulated in f64
+    until ||r|| < tol * ||b||  (measured in f64)
+
+Each pass contracts the true residual by ~max(inner_tol, kappa * eps_f32),
+so 2-4 passes reach 1e-10; the f64 work is two operator applies and a few
+axpys per pass -- negligible next to the f32 inner iterations even with
+TPU f64 emulation. The returned convergence flag is measured on the f64
+residual, i.e. it certifies the reference's own criterion.
+
+Requires jax_enable_x64 (the CLI enables it when --cg-refine is active on
+an f32 run; tests always run with x64 on).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from schwingermodel_tpu.solvers.cg import CGResult
+
+
+def cg_refine(
+    apply_A_hi: Callable[[jax.Array], jax.Array],
+    inner_solve: Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]],
+    b: jax.Array,
+    dot_re_hi: Callable[[jax.Array, jax.Array], jax.Array],
+    *,
+    tol: float = 1e-10,
+    max_outer: int = 8,
+    x0: jax.Array | None = None,
+) -> CGResult:
+    """Solve A x = b to f64 relative tolerance `tol` via iterative refinement.
+
+    apply_A_hi : the operator in f64 (complex128 in / complex128 out).
+    inner_solve: (rhs_lo, x0_lo) -> (dx_lo, inner_iters); an f32 solver for
+                 A d = rhs to its own (loose) relative tolerance. rhs_lo and
+                 x0_lo are complex64; dx_lo may be any precision (cast here).
+    b          : right-hand side (any complex dtype; promoted to f64).
+    dot_re_hi  : Re<x,y> global reduction (geometry-aware), f64 operands.
+
+    Returns CGResult with x in complex128, iters = total inner iterations,
+    converged/rel_residual measured on the f64 true residual. Stagnation
+    (a pass contracting the residual by < 2x) terminates early with
+    converged=False rather than burning max_outer passes.
+    """
+    hi = jnp.complex128
+    lo = jnp.complex64
+    b_hi = b.astype(hi)
+    if x0 is None:
+        x0 = jnp.zeros_like(b_hi)
+    x = x0.astype(hi)
+
+    b_norm2 = dot_re_hi(b_hi, b_hi)
+    stop2 = (tol * tol) * b_norm2
+
+    r = b_hi - apply_A_hi(x)
+    rho = dot_re_hi(r, r)
+
+    def cond(carry):
+        _, _, rho, rho_prev, k, iters = carry
+        active = jnp.logical_and(rho >= stop2, k < max_outer)
+        # stagnation: the last pass failed to contract ||r||^2 by >= 4x
+        progressing = jnp.logical_or(k == 0, rho * 4.0 <= rho_prev)
+        return jnp.logical_and(active, progressing)
+
+    def body(carry):
+        x, r, rho, _, k, iters = carry
+        d_lo, inner_iters = inner_solve(
+            r.astype(lo), jnp.zeros_like(r, dtype=lo))
+        x = x + d_lo.astype(hi)
+        r = b_hi - apply_A_hi(x)
+        rho_new = dot_re_hi(r, r)
+        return (x, r, rho_new, rho, k + 1, iters + inner_iters)
+
+    x, r, rho, _, k, iters = lax.while_loop(
+        cond, body,
+        (x, r, rho, jnp.full_like(rho, jnp.inf), jnp.int32(0), jnp.int32(0)))
+
+    rel = jnp.sqrt(rho) * lax.rsqrt(
+        jnp.maximum(b_norm2, jnp.finfo(rho.dtype).tiny))
+    return CGResult(x=x, iters=iters, converged=rho < stop2, rel_residual=rel)

@@ -1,0 +1,182 @@
+"""Statistical cross-validation against the compiled C++ reference.
+
+The golden data (tests/golden/refphys.json, produced by
+tools/refcheck/run_goldens.py from the actual reference binary built with
+tools/refcheck/build_reference.sh) carries <P> +- jackknife error and the
+acceptance rate for 8x8 and 16x16 at beta = 1..6, m0 = 0.2, plus the
+near-critical point beta=2, m0=-0.19 (reference README.md:100-111 critical
+mass table; validation approach of HMC_doc.pdf Fig. 1).
+
+This tool re-runs every point through the TPU framework with identical MD
+parameters and gates the plaquette at 2 sigma (combined jackknife errors)
+and the acceptance rate at 2 sigma (binomial). Because different RNGs mean
+observables match only in distribution (SURVEY.md section 7 hard part 4),
+this is the correct -- and the reference's own -- notion of equality.
+
+    python -m schwingermodel_tpu.tools.crossvalidate               # all points
+    python -m schwingermodel_tpu.tools.crossvalidate --lattice 8   # 8x8 only
+    ... --json out.json --markdown docs/CROSSCHECK.md
+
+Exit status 0 iff every point passes both gates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+GOLDEN_DEFAULT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "refphys.json")
+
+
+def compare_point(ref: dict, args) -> dict:
+    from schwingermodel_tpu.config import (
+        CGParams, HMCParams, LatticeParams, RunParams,
+    )
+    from schwingermodel_tpu.runner import run_hmc
+
+    import jax
+
+    dtype = args.dtype
+    nmeas = args.nmeas or ref["nmeas"]
+    lattice = LatticeParams(Nx=ref["Nx"], Nt=ref["Nt"], real_dtype=dtype)
+    hmc = HMCParams(
+        beta=ref["beta"], m0=ref["m0"], md_steps=ref["md_steps"],
+        trajectory_length=ref["tau"], even_odd=True,
+        cg=CGParams(tol=1e-10 if (dtype == "float64" or args.refine) else 1e-6,
+                    max_iter=10000, refine=args.refine),
+    )
+    run = RunParams(n_therm=ref["ntherm"], n_meas=nmeas,
+                    n_steps=ref["nsteps"], n_chains=args.chains,
+                    seed=args.seed)
+    res = run_hmc(lattice, hmc, run)
+
+    # per-measurement chain means -> 20-bin jackknife, same convention as
+    # the reference (src/hmc.cpp:213-214) and the runner summary
+    n_upd = nmeas * (1 + ref["nsteps"]) * max(args.chains, 1)
+
+    sig = float(np.sqrt(ref["dEp"] ** 2 + res.dEp ** 2))
+    dev = float(abs(res.Ep - ref["Ep"]))
+    # acceptance: binomial errors from both runs (the golden runs used
+    # ntherm+nmeas*(1+nsteps) updates post-thermalization)
+    n_ref = ref["nmeas"] * (1 + ref["nsteps"])
+    p_r, p_o = ref["acceptance"], res.acceptance_rate
+    sig_acc = float(np.sqrt(p_r * (1 - p_r) / n_ref + p_o * (1 - p_o) / n_upd))
+    dev_acc = float(abs(p_o - p_r))
+    # decorrelated single measurements at nsteps>=1 are close to independent,
+    # but allow the usual autocorrelation slack on the binomial gate
+    return {
+        "Nx": ref["Nx"], "Nt": ref["Nt"], "beta": ref["beta"], "m0": ref["m0"],
+        "ref_Ep": ref["Ep"], "ref_dEp": ref["dEp"],
+        "Ep": res.Ep, "dEp": res.dEp,
+        "n_sigma_Ep": dev / sig if sig else float("inf"),
+        "ref_acceptance": p_r, "acceptance": p_o,
+        "n_sigma_acc": dev_acc / sig_acc if sig_acc else float("inf"),
+        "pass_Ep": dev <= args.n_sigma * sig,
+        "pass_acc": dev_acc <= args.n_sigma_acc * sig_acc,
+        "seconds": res.elapsed_seconds,
+        "nmeas": nmeas, "chains": args.chains, "dtype": dtype,
+        "refine": args.refine,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m schwingermodel_tpu.tools.crossvalidate",
+        description="2-sigma physics gate vs the compiled C++ reference")
+    p.add_argument("--golden", default=GOLDEN_DEFAULT)
+    p.add_argument("--lattice", type=int, default=None,
+                   help="restrict to NxN points")
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--m0", type=float, default=None)
+    p.add_argument("--nmeas", type=int, default=None,
+                   help="override measurement count (default: match golden)")
+    p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None)
+    p.add_argument("--refine", action="store_true", default=None,
+                   help="mixed-precision 1e-10 solves on f32 (default on)")
+    p.add_argument("--no-refine", dest="refine", action="store_false")
+    p.add_argument("--n-sigma", type=float, default=2.0)
+    p.add_argument("--n-sigma-acc", type=float, default=3.0,
+                   help="acceptance gate (binomial, autocorrelation slack)")
+    p.add_argument("--json", default=None)
+    p.add_argument("--markdown", default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if args.dtype is None:
+        args.dtype = "float32" if on_tpu else "float64"
+    if args.refine is None:
+        args.refine = args.dtype == "float32"
+    if args.refine or args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from schwingermodel_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    points = json.load(open(args.golden))
+    if args.lattice:
+        points = [r for r in points if r["Nx"] == args.lattice]
+    if args.beta is not None:
+        points = [r for r in points if r["beta"] == args.beta]
+    if args.m0 is not None:
+        points = [r for r in points if r["m0"] == args.m0]
+
+    rows = []
+    ok = True
+    hdr = (f"{'lattice':>8} {'beta':>5} {'m0':>6} | {'Ep(ref)':>10} "
+           f"{'Ep(tpu)':>10} {'nsig':>5} | {'acc(ref)':>8} {'acc(tpu)':>8} "
+           f"{'nsig':>5} | verdict")
+    print(hdr)
+    print("-" * len(hdr))
+    for ref in points:
+        r = compare_point(ref, args)
+        rows.append(r)
+        ok &= r["pass_Ep"] and r["pass_acc"]
+        v = "PASS" if (r["pass_Ep"] and r["pass_acc"]) else "FAIL"
+        print(f"{r['Nx']}x{r['Nt']:<5} {r['beta']:>5g} {r['m0']:>6g} | "
+              f"{r['ref_Ep']:>10.6f} {r['Ep']:>10.6f} {r['n_sigma_Ep']:>5.2f} | "
+              f"{r['ref_acceptance']:>8.3f} {r['acceptance']:>8.3f} "
+              f"{r['n_sigma_acc']:>5.2f} | {v}", flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+    if args.markdown:
+        with open(args.markdown, "w") as f:
+            f.write("# Cross-validation vs the C++ reference\n\n")
+            f.write(f"Framework: dtype={args.dtype}, refine={args.refine}, "
+                    f"chains={args.chains}, backend={jax.default_backend()}."
+                    f" Gate: |ΔEp| ≤ {args.n_sigma:g}σ (combined jackknife),"
+                    f" |Δacc| ≤ {args.n_sigma_acc:g}σ (binomial).\n\n")
+            f.write("| lattice | β | m0 | Ep (reference) | Ep (this) | nσ | "
+                    "acc (ref) | acc (this) | nσ | verdict |\n")
+            f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                v = "PASS" if (r["pass_Ep"] and r["pass_acc"]) else "FAIL"
+                f.write(f"| {r['Nx']}x{r['Nt']} | {r['beta']:g} | {r['m0']:g} "
+                        f"| {r['ref_Ep']:.6f} ± {r['ref_dEp']:.6f} "
+                        f"| {r['Ep']:.6f} ± {r['dEp']:.6f} "
+                        f"| {r['n_sigma_Ep']:.2f} "
+                        f"| {r['ref_acceptance']:.3f} | {r['acceptance']:.3f} "
+                        f"| {r['n_sigma_acc']:.2f} | {v} |\n")
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -254,6 +254,7 @@ def test_sharded_eo_trajectory_matches_single_device(rng, mesh_shape):
         float(stats_n.delta_H), float(stats_1.delta_H), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_eo_statistics_match_full(rng):
     """Short 8x8 runs: EO and full-D actions give the same plaquette within
     combined statistical errors (same physics, different algorithm)."""

@@ -102,6 +102,7 @@ def test_fused_cg_vmap_chains():
         assert int(batched.iters[i]) == int(single.iters)
 
 
+@pytest.mark.slow
 def test_trajectory_fused_vs_jnp():
     """Full HMC trajectories agree (accept decisions and dH) when solves go
     through the fused kernel instead of the jnp CG."""

@@ -29,6 +29,7 @@ def test_run_basic(tmp_path):
     assert 0.0 <= res.acceptance_rate <= 1.0
 
 
+@pytest.mark.slow
 def test_fast_and_slow_paths_agree(tmp_path):
     """save_conf toggles the host-loop path; observables must be identical."""
     r_fast = run_hmc(LAT, HMC, RunParams(n_therm=3, n_meas=5, n_steps=1,
@@ -57,6 +58,7 @@ def test_chains_vmapped(tmp_path):
     assert len(np.unique(p)) == 3
 
 
+@pytest.mark.slow
 def test_sharded_runner_matches_single_device(tmp_path):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
@@ -95,6 +97,7 @@ CLI_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
            "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
 
 
+@pytest.mark.slow
 def test_cli_parameter_pipe(tmp_path):
     """The reference's piped-parameter workflow must work verbatim."""
     params = "1\n1\n0.1\n8\n0.8\n2\n2\n3\n0\n0"

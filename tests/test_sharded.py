@@ -114,6 +114,7 @@ def test_sharded_trajectory_matches_single_device(rng, mesh_shape):
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 1, 2), (2, 1, 1)])
+@pytest.mark.slow
 def test_chain_sharded_trajectory_matches_vmap(rng, mesh_shape):
     """Chain data parallelism x lattice sharding on a 3D ('chain','x','t')
     mesh == plain vmapped single-device chains, same per-chain keys.
@@ -159,6 +160,7 @@ def test_chain_sharded_trajectory_matches_vmap(rng, mesh_shape):
     )
 
 
+@pytest.mark.slow
 def test_chain_sharded_runner_end_to_end(tmp_path, rng):
     """run_hmc with n_chains sharded over a 3D mesh runs and matches the
     vmapped (unsharded) runner's observable chains."""

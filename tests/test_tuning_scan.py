@@ -146,6 +146,7 @@ def test_betascan_range_parsing():
         parse_betas("1:2")
 
 
+@pytest.mark.slow
 def test_cg_forecast_saves_iterations_same_physics():
     """Chronological forecasting cuts CG iterations while leaving the
     accept/reject decision unchanged at solver tolerance.
