@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-simdata", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
+    p.add_argument("--num-cpu-devices", type=int, default=None,
+                   help="virtual CPU device count (sharding tests without "
+                        "TPU hardware)")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host: jax.distributed coordinator address "
                         "(also honored: JAX_COORDINATOR_ADDRESS / SLURM / "
@@ -129,6 +132,9 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    if args.num_cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.num_cpu_devices)
 
     from schwingermodel_tpu.utils.cache import enable_compilation_cache
 

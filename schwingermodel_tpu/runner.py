@@ -17,9 +17,12 @@ driver logic around it (src/main.cpp:148-174):
     reference runs exactly one chain per job.
   - Lattice sharding over a device mesh (RunParams.mesh_shape) reuses the
     same blocks with the shard_map step from parallel.sharded.
-  - CG failure surfaces as per-block flags; the runner dumps the offending
-    configuration as ..._illConf{k}.ctxt on the host (the reference writes
-    it from inside Force, src/hmc.cpp:48-56).
+  - CG failure: the trajectory scan captures, per chain, the pre-trajectory
+    configuration and global index of the FIRST failing trajectory in each
+    host-visible phase; the runner dumps it as ..._illConf{k}.ctxt with its
+    trajectory index (the reference writes the failing configuration from
+    inside Force, src/hmc.cpp:48-56 -- here (seed, traj_index) reproduces
+    the failing solve bit-exactly, tests/test_illconf.py).
   - Configuration saving, SimData summary, jackknife errors (20 bins,
     hmc.cpp:213-214) and acceptance accounting (getacceptance_rate,
     include/hmc.h:42-47) match the reference's conventions.
@@ -65,6 +68,9 @@ class RunResult:
     traj_index: int         # trajectories consumed (per chain)
     cg_iters_total: int = 0
     perf: Optional[dict] = None  # per-phase timing/throughput (utils.metrics)
+    # one entry per dumped ill configuration: {traj_index, chain, file};
+    # (seed, traj_index) reproduces the failing solve deterministically
+    ill_records: list = dataclasses.field(default_factory=list)
 
     def summary(self, name: str) -> dict:
         return statistics.binned_summary(np.asarray(self.chains[name]).reshape(-1))
@@ -213,13 +219,37 @@ def run_hmc(
             cg_tol=hmc.cg.tol, m0=hmc.m0, host=host,
         )
 
-    # one scanned trajectory block: (theta, keys[n(,C)]) -> theta', stats'
+    # ---- failure-time capture (reference src/hmc.cpp:48-56) ----
+    # The reference dumps the offending gauge configuration from inside
+    # Force at the moment CG fails. Under a fused device program the
+    # equivalent is: the scan carries, per chain, the PRE-trajectory
+    # configuration and global index of the first trajectory whose solve
+    # failed. Noise is drawn deterministically from (seed, trajectory
+    # index), so that pair reproduces the failing solve exactly
+    # (tests/test_illconf.py). One capture per host-visible phase; the
+    # host dumps it as ..._illConf{k}.ctxt and resets the capture window.
+    def _fail_init(theta):
+        lead = theta.shape[:-3]          # () or (n_chains,)
+        return (jnp.zeros_like(theta),                 # first failing theta
+                jnp.zeros(lead, dtype=bool),           # failure seen
+                jnp.full(lead, -1, dtype=jnp.int32))   # its trajectory index
+
+    # one scanned trajectory block:
+    # (theta, fail, keys[n(,C)], idx[n]) -> theta', fail', stats'
     @jax.jit
-    def block(theta, keys):
-        def body(th, k):
-            th, st = traj(th, k)
-            return th, st
-        return jax.lax.scan(body, theta, keys)
+    def block(theta, fail, keys, idx):
+        def body(carry, inp):
+            th, (f_th, f_seen, f_idx) = carry
+            k, i = inp
+            th2, st = traj(th, k)
+            bad = jnp.logical_and(jnp.logical_not(st.cg_converged),
+                                  jnp.logical_not(f_seen))
+            f_th = jnp.where(bad.reshape(bad.shape + (1, 1, 1)), th, f_th)
+            f_idx = jnp.where(bad, i, f_idx)
+            f_seen = jnp.logical_or(f_seen, bad)
+            return (th2, (f_th, f_seen, f_idx)), st
+        (theta, fail), st = jax.lax.scan(body, (theta, fail), (keys, idx))
+        return theta, fail, st
 
     # Host-safe scalar reductions of per-trajectory stats. Computed *inside*
     # jit so the outputs are replicated scalars: in multi-host mode the raw
@@ -242,34 +272,51 @@ def run_hmc(
     traj_index = start_traj_index
     n_ill = 0
     cg_iters_total = 0
+    ill_records = []
 
-    def dump_ill(theta_now):
+    def idx_for(start: int, n: int):
+        return jnp.arange(start, start + n, dtype=jnp.int32)
+
+    def dump_fail(fail):
+        """Dump the captured first-failure configuration(s): the exact
+        pre-trajectory theta whose solve failed, with its trajectory index
+        (reference dumps from inside Force, src/hmc.cpp:48-56)."""
         nonlocal n_ill
-        th = multihost.gather_global(theta_now)
-        if not multihost.is_primary():
-            n_ill += th.size // (2 * lattice.Nx * lattice.Nt)
+        f_th, f_seen, f_idx = fail
+        seen = np.atleast_1d(multihost.gather_global(f_seen)).reshape(-1)
+        if not seen.any():
             return
-        th = th.reshape(-1, 2, lattice.Nx, lattice.Nt)
-        for c in range(th.shape[0]):
+        th = multihost.gather_global(f_th).reshape(
+            -1, 2, lattice.Nx, lattice.Nt)
+        idxs = np.atleast_1d(multihost.gather_global(f_idx)).reshape(-1)
+        for c in np.nonzero(seen)[0]:
             name = ctxt.ill_conf_filename(
                 lattice.Nx, lattice.Nt, hmc.beta, hmc.m0, n_ill)
-            ctxt.write_conf(os.path.join(run.out_dir, name),
-                            ctxt.links_from_theta(th[c]))
+            if multihost.is_primary():
+                ctxt.write_conf(os.path.join(run.out_dir, name),
+                                ctxt.links_from_theta(th[c]))
+            ill_records.append({"traj_index": int(idxs[c]), "chain": int(c),
+                                "file": name})
             n_ill += 1
-            log(f"CG failed to converge; configuration dumped to {name}")
+            log(f"CG failed to converge at trajectory {int(idxs[c])}"
+                + (f" (chain {c})" if len(seen) > 1 else "")
+                + f"; pre-trajectory configuration dumped to {name}")
 
     perf = PerfMonitor(volume=lattice.volume, even_odd=hmc.even_odd)
 
     # ---- thermalization (hmc.cpp:187-191) ----
     therm_chunk = 100
     done = 0
+    fail = _fail_init(theta)
     with perf.phase("thermalize"):
         while done < n_therm_left:
             n = min(therm_chunk, n_therm_left - done)
-            theta, st = block(theta, keys_for(traj_index, n))
+            theta, fail, st = block(theta, fail, keys_for(traj_index, n),
+                                    idx_for(traj_index, n))
             _, it_s, conv_s = _stat_scalars(st)
             if not bool(conv_s):
-                dump_ill(theta)
+                dump_fail(fail)
+                fail = _fail_init(theta)
             it = int(it_s)
             cg_iters_total += it
             perf.add(trajectories=n * max(n_chains, 1), cg_iters=it)
@@ -286,7 +333,8 @@ def run_hmc(
     slow_path = run.save_conf  # per-measurement host I/O required
 
     perf.start("measure")
-    theta, st0 = block(theta, keys_for(traj_index, 1))
+    theta, fail, st0 = block(theta, fail, keys_for(traj_index, 1),
+                             idx_for(traj_index, 1))
     traj_index += 1
     mk = meas_keys_for(run.n_meas)
     o0 = measure(theta, jax.tree.map(lambda a: a[0], mk))
@@ -296,18 +344,21 @@ def run_hmc(
     meas_list = [o0]
     updates_total = int(np.prod(np.shape(st0.accepted)))
     if not bool(conv0):
-        dump_ill(theta)
+        dump_fail(fail)
+        fail = _fail_init(theta)
     if run.save_conf:
         _save_confs(theta, 0, lattice, hmc, run, n_chains)
 
     if slow_path:
         for i in range(1, run.n_meas):
-            theta, st = block(theta, keys_for(traj_index, per_meas))
+            theta, fail, st = block(theta, fail, keys_for(traj_index, per_meas),
+                                    idx_for(traj_index, per_meas))
             traj_index += per_meas
             o = measure(theta, jax.tree.map(lambda a: a[i], mk))
             acc_s, it_s, conv_s = _stat_scalars(st)
             if not bool(conv_s):
-                dump_ill(theta)
+                dump_fail(fail)
+                fail = _fail_init(theta)
             accepted.append(np.asarray(acc_s).reshape(1))
             cg_iters_total += int(it_s)
             updates_total += int(np.prod(np.shape(st.accepted)))
@@ -321,25 +372,31 @@ def run_hmc(
     elif run.n_meas > 1:
         # fast path: the remaining n_meas-1 blocks in ONE device program
         @jax.jit
-        def meas_phase(theta, block_keys, meas_ks):
-            def body(th, inp):
-                bk, mk_i = inp
-                th, st = block(th, bk)   # nested jit is inlined by the tracer
+        def meas_phase(theta, fail, block_keys, block_idx, meas_ks):
+            def body(carry, inp):
+                th, fl = carry
+                bk, bi, mk_i = inp
+                # nested jit is inlined by the tracer
+                th, fl, st = block(th, fl, bk, bi)
                 o = measure_v(th, mk_i)
                 blockstats = (
                     jnp.sum(st.accepted.astype(jnp.int32)),
                     jnp.sum(st.cg_iters),
                     jnp.all(st.cg_converged),
                 )
-                return th, (o, blockstats)
-            return jax.lax.scan(body, theta, (block_keys, meas_ks))
+                return (th, fl), (o, blockstats)
+            (theta, fail), out = jax.lax.scan(
+                body, (theta, fail), (block_keys, block_idx, meas_ks))
+            return theta, fail, out
 
         nb = run.n_meas - 1
         bkeys = keys_for(traj_index, nb * per_meas)
         bkeys = jax.tree.map(
             lambda a: a.reshape((nb, per_meas) + a.shape[1:]), bkeys)
+        bidx = idx_for(traj_index, nb * per_meas).reshape(nb, per_meas)
         mks = jax.tree.map(lambda a: a[1:], mk)
-        theta, (o_rest, (acc_b, iters_b, conv_b)) = meas_phase(theta, bkeys, mks)
+        theta, fail, (o_rest, (acc_b, iters_b, conv_b)) = meas_phase(
+            theta, fail, bkeys, bidx, mks)
         traj_index += nb * per_meas
         updates_total += nb * per_meas * max(n_chains, 1)
         accepted_total = int(np.sum(np.concatenate(accepted))) + int(jnp.sum(acc_b))
@@ -347,9 +404,8 @@ def run_hmc(
         conv_np = np.asarray(conv_b)
         if not conv_np.all():
             n_bad = int((~conv_np).sum())
-            log(f"CG failed to converge in {n_bad} measurement block(s); "
-                f"final configuration dumped")
-            dump_ill(theta)
+            log(f"CG failed to converge in {n_bad} measurement block(s)")
+            dump_fail(fail)
         chains = {
             k: np.concatenate(
                 [multihost.gather_global(o0[k])[None],
@@ -389,7 +445,7 @@ def run_hmc(
             else (2, lattice.Nx, lattice.Nt)),
         key=np.asarray(key),
         traj_index=traj_index, cg_iters_total=cg_iters_total,
-        perf=perf.summary(),
+        perf=perf.summary(), ill_records=ill_records,
     )
 
     if simdata is not None:
