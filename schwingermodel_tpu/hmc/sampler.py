@@ -91,10 +91,12 @@ def trajectory_given_noise(
     if quenched:
         sf_old = 0.0
     elif model.hmc.exact_initial_fermion_action:
-        chi_a = chi.astype(jnp.complex128) if model._refine_active() else chi
-        sf_old = model.geom.gsum(
-            jnp.sum(jnp.real(chi_a) ** 2 + jnp.imag(chi_a) ** 2, axis=-3)
-        )
+        # f64 accumulation under refinement (Metropolis-grade dH); the
+        # squares of the f32 components are exact in f64
+        acc_t = jnp.float64 if model._refine_active() else chi.real.dtype
+        sf_old = model.geom.gsum(jnp.sum(
+            jnp.real(chi).astype(acc_t) ** 2
+            + jnp.imag(chi).astype(acc_t) ** 2, axis=-3))
     else:
         sf_old, stats = model.fermion_action(theta, phi, stats)
     H_old = kin_old + sg_old + sf_old

@@ -106,6 +106,15 @@ class SchwingerModel:
 
     # ---------- mixed-precision refinement (solvers/refine.py) ----------
 
+    def _to_working(self, v: jax.Array) -> jax.Array:
+        """Cast a (possibly f64-refined) complex field to the working
+        complex dtype via split-real converts (TPU-safe)."""
+        if v.dtype == self.lattice.cdtype:
+            return v
+        from schwingermodel_tpu.solvers.refine import to_c64
+
+        return to_c64(v)
+
     def _refine_active(self) -> bool:
         """True when solves should meet cg.tol in f64 via iterative
         refinement: requested, and the working dtype is f32 (an f64 run
@@ -282,7 +291,7 @@ class SchwingerModel:
             # force math runs at working precision (its accuracy is bounded
             # by the f32 links anyway); psi itself is returned at solve
             # precision so chronological forecasting keeps the f64 guess
-            psi_w = psi.astype(self.lattice.cdtype)
+            psi_w = self._to_working(psi)
             chi_p = ops.dhat_dag(psi_w)
             F = eo.eo_fermion_force(
                 self.fermion_links, self.geom, m0, theta, psi_w, chi_p)
@@ -292,7 +301,7 @@ class SchwingerModel:
         Uf = dops.fermion_links(U, self.sign_mask(theta))
         res = self._solve_full(theta, Uf, phi, x0=x0)
         psi = res.x                                     # (DD^+)^{-1} Phi
-        psi_w = psi.astype(self.lattice.cdtype)
+        psi_w = self._to_working(psi)
         chi_p = dops.dirac_dagger(self.geom, Uf, psi_w, m0)   # D^+ psi
         F = dops.fermion_force(self.geom, Uf, psi_w, chi_p)
         F = F + gops.gauge_force(self.geom, U, beta)
@@ -327,6 +336,12 @@ class SchwingerModel:
         else:
             Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
             res = self._solve_full(theta, Uf, phi, x0=x0)
+        if self._refine_active():
+            from schwingermodel_tpu.solvers.refine import to_c128
+
+            # split-real upcast: a direct c64->c128 convert is unsupported
+            # by the TPU x64 rewriter (see solvers/refine.py)
+            return self._dot_re(to_c128(phi), res.x), stats.merge(res)
         return self._dot_re(phi, res.x), stats.merge(res)
 
     def kinetic(self, pi: jax.Array) -> jax.Array:

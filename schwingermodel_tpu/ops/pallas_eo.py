@@ -170,9 +170,10 @@ def _spinor_axpbv(alpha, u, beta, v):
 
 def _dot_re(u, v):
     """Re<u, v> summed over both spins and the plane."""
-    acc = 0.0
+    acc = None
     for a, b in zip(u, v):
-        acc = acc + jnp.sum(a[0] * b[0] + a[1] * b[1])
+        t = jnp.sum(a[0] * b[0] + a[1] * b[1])
+        acc = t if acc is None else acc + t
     return acc
 
 
@@ -194,10 +195,16 @@ def _write_spinor(ref, s):
 def _cg_kernel(ue_ref, uo_ref, b_ref, x0_ref,
                x_ref, iters_ref, rho_ref, bnorm_ref,
                *, m: float, tol: float, max_iter: int, Nx: int):
-    mask_x = jax.lax.broadcasted_iota(jnp.int32, (Nx, 1), 0) % 2
-    mask_e = mask_x == 1   # off_e(x) = x mod 2       (eo.row_offset, EVEN)
-    mask_o = mask_x == 0   # off_o(x) = (x+1) mod 2
-    c = 1.0 / (4.0 * m)
+    # All scalars explicitly f32/int32: under jax_enable_x64 (the
+    # mixed-precision refinement mode) weak-typed Python scalars trace as
+    # f64/i64, and Mosaic's f64 conversion lowering recurses fatally.
+    mask_x = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (Nx, 1), 0), jnp.int32(2))
+    mask_e = mask_x == jnp.int32(1)  # off_e(x) = x mod 2 (eo.row_offset, EVEN)
+    mask_o = mask_x == jnp.int32(0)  # off_o(x) = (x+1) mod 2
+    c = jnp.float32(1.0 / (4.0 * m))
+    m = jnp.float32(m)
+    one = jnp.float32(1.0)
 
     ue = _read_links(ue_ref)
     uo = _read_links(uo_ref)
@@ -217,25 +224,26 @@ def _cg_kernel(ue_ref, uo_ref, b_ref, x0_ref,
     x0 = _read_spinor(x0_ref)
 
     bnorm2 = _dot_re(b, b)
-    stop2 = (tol * tol) * bnorm2
+    stop2 = jnp.float32(tol * tol) * bnorm2
+    max_k = jnp.int32(max_iter)
 
-    r0 = _spinor_axpbv(1.0, b, -1.0, apply_A(x0))
+    r0 = _spinor_axpbv(one, b, -one, apply_A(x0))
     rho0 = _dot_re(r0, r0)
 
     def cond(carry):
         _, _, _, rho, k = carry
-        return jnp.logical_and(rho >= stop2, k < max_iter)
+        return jnp.logical_and(rho >= stop2, k < max_k)
 
     def body(carry):
         x, r, d, rho, k = carry
         Ad = apply_A(d)
         alpha = rho / _dot_re(d, Ad)
-        x = _spinor_axpbv(1.0, x, alpha, d)
-        r = _spinor_axpbv(1.0, r, -alpha, Ad)
+        x = _spinor_axpbv(one, x, alpha, d)
+        r = _spinor_axpbv(one, r, -alpha, Ad)
         rho_new = _dot_re(r, r)
         beta = rho_new / rho
-        d = _spinor_axpbv(1.0, r, beta, d)
-        return (x, r, d, rho_new, k + 1)
+        d = _spinor_axpbv(one, r, beta, d)
+        return (x, r, d, rho_new, k + jnp.int32(1))
 
     x, r, d, rho, k = jax.lax.while_loop(
         cond, body, (x0, r0, r0, rho0, jnp.int32(0)))

@@ -37,6 +37,24 @@ from jax import lax
 from schwingermodel_tpu.solvers.cg import CGResult
 
 
+def to_c128(v: jax.Array) -> jax.Array:
+    """complex64 -> complex128 via split real/imag casts.
+
+    A direct astype lowers to a c64->c128 convert-element-type, which the
+    TPU x64-emulation rewriter cannot expand ("Unsupported CVT X64
+    expansion", x64_rewriter.cc); f32->f64 converts are supported, so we
+    route the cast through the real planes. Identity-cheap if v is
+    already complex128."""
+    return jax.lax.complex(jnp.real(v).astype(jnp.float64),
+                           jnp.imag(v).astype(jnp.float64))
+
+
+def to_c64(v: jax.Array) -> jax.Array:
+    """complex128 -> complex64, split-real for the same TPU reason."""
+    return jax.lax.complex(jnp.real(v).astype(jnp.float32),
+                           jnp.imag(v).astype(jnp.float32))
+
+
 def cg_refine(
     apply_A_hi: Callable[[jax.Array], jax.Array],
     inner_solve: Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]],
@@ -61,12 +79,10 @@ def cg_refine(
     (a pass contracting the residual by < 2x) terminates early with
     converged=False rather than burning max_outer passes.
     """
-    hi = jnp.complex128
-    lo = jnp.complex64
-    b_hi = b.astype(hi)
+    b_hi = to_c128(b)
     if x0 is None:
         x0 = jnp.zeros_like(b_hi)
-    x = x0.astype(hi)
+    x = to_c128(x0)
 
     b_norm2 = dot_re_hi(b_hi, b_hi)
     stop2 = (tol * tol) * b_norm2
@@ -83,9 +99,9 @@ def cg_refine(
 
     def body(carry):
         x, r, rho, _, k, iters = carry
-        d_lo, inner_iters = inner_solve(
-            r.astype(lo), jnp.zeros_like(r, dtype=lo))
-        x = x + d_lo.astype(hi)
+        r_lo = to_c64(r)
+        d_lo, inner_iters = inner_solve(r_lo, jnp.zeros_like(r_lo))
+        x = x + to_c128(d_lo)
         r = b_hi - apply_A_hi(x)
         rho_new = dot_re_hi(r, r)
         return (x, r, rho_new, rho, k + 1, iters + inner_iters)
