@@ -1,6 +1,10 @@
 """Headline benchmark: HMC trajectories/second at 64x64 (reference demo config).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the headline: aggregate
+trajectories/s/chip with the lane-packed multi-chain kernel (chains are the
+TPU-native way to fill the vector unit at this lattice size -- a single
+64x64 chain's packed planes use 32 of 128 lanes; see ops/pallas_eo.py).
+The single-chain number and the sustained CG GFLOP/s are the lines before.
 
 Baseline: the C++/MPI reference (Fabian2598/SchwingerModel) publishes no
 performance numbers (BASELINE.md), so the anchor is our own measurement of the
@@ -60,6 +64,9 @@ N_TIMED = 500    # timed trajectories, ONE device program + one readback
                  # fence (the tunnel costs ~100 ms per unpipelined dispatch,
                  # so per-block host loops would measure the tunnel, not
                  # the chip)
+N_CHAINS = 16    # lane-packed chains for the aggregate number (16*32 = 512
+                 # lanes -> 4 full vector tiles; ~9.8 MB of scoped VMEM)
+N_TIMED_MC = 200
 
 
 def main():
@@ -70,30 +77,42 @@ def main():
     )
     model = SchwingerModel(lattice=lat, hmc=hmc)
 
-    def make_run(n):
+    def make_run(n, n_chains=1):
+        traj = hmc_trajectory if n_chains == 1 else jax.vmap(
+            lambda th, k: hmc_trajectory(model, th, k), in_axes=(0, 0))
+
         @jax.jit
         def run(theta, k0):
             keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(n))
+            if n_chains > 1:
+                keys = jax.vmap(
+                    lambda k: jax.vmap(
+                        lambda c: jax.random.fold_in(k, c))(jnp.arange(n_chains))
+                )(keys)
+
             def body(th, k):
-                th, st = hmc_trajectory(model, th, k)
-                return th, st.accepted
-            th, acc = jax.lax.scan(body, theta, keys)
-            return th, jnp.sum(acc)
+                if n_chains == 1:
+                    th, st = hmc_trajectory(model, th, k)
+                else:
+                    th, st = traj(th, k)
+                return th, (jnp.sum(st.accepted), jnp.sum(st.cg_iters))
+            th, (acc, it) = jax.lax.scan(body, theta, keys)
+            return th, jnp.sum(acc), jnp.sum(it)
         return run
 
     key = prng.root_key(0)
     theta = jax.random.uniform(
         key, (2, 64, 64), minval=-jnp.pi, maxval=jnp.pi, dtype=lat.rdtype
     )
-    theta, a = make_run(BLOCK)(theta, key)   # compile + thermalize
-    float(a)                                 # readback fence
+    theta, a, _ = make_run(BLOCK)(theta, key)  # compile + thermalize
+    float(a)                                   # readback fence
 
     run_timed = make_run(N_TIMED)
-    theta2, a = run_timed(theta, jax.random.fold_in(key, 1))  # compile
+    theta2, a, _ = run_timed(theta, jax.random.fold_in(key, 1))  # compile
     float(a)
     t0 = time.perf_counter()
-    theta2, a = run_timed(theta, jax.random.fold_in(key, 2))
-    assert float(a) >= 0                     # readback fence
+    theta2, a, _ = run_timed(theta, jax.random.fold_in(key, 2))
+    assert float(a) >= 0                       # readback fence
     dt = time.perf_counter() - t0
 
     traj_per_s = N_TIMED / dt
@@ -102,7 +121,39 @@ def main():
         "value": round(traj_per_s, 3),
         "unit": "traj/s",
         "vs_baseline": round(traj_per_s / CPP_BASELINE_TRAJ_PER_S, 2),
-    }))
+    }), flush=True)
+
+    # ---- aggregate: N_CHAINS lane-packed chains on the one chip ----
+    from schwingermodel_tpu.utils.metrics import cg_iteration_flops
+
+    thetas = jax.random.uniform(
+        jax.random.fold_in(key, 7), (N_CHAINS, 2, 64, 64),
+        minval=-jnp.pi, maxval=jnp.pi, dtype=lat.rdtype)
+    therm_mc = make_run(BLOCK, N_CHAINS)
+    thetas, a, _ = therm_mc(thetas, jax.random.fold_in(key, 8))
+    float(a)
+    run_mc = make_run(N_TIMED_MC, N_CHAINS)
+    th2, a, it = run_mc(thetas, jax.random.fold_in(key, 9))
+    float(a)
+    t0 = time.perf_counter()
+    th2, a, it = run_mc(thetas, jax.random.fold_in(key, 10))
+    iters = float(it)                          # readback fence
+    dt_mc = time.perf_counter() - t0
+
+    agg = N_TIMED_MC * N_CHAINS / dt_mc
+    gflops = iters * cg_iteration_flops(64 * 64, True) / dt_mc / 1e9
+    print(json.dumps({
+        "metric": "cg_sustained_gflops_64x64_c16",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": None,
+    }), flush=True)
+    print(json.dumps({
+        "metric": "hmc_traj_per_s_64x64_agg_c16",
+        "value": round(agg, 3),
+        "unit": "traj/s/chip",
+        "vs_baseline": round(agg / CPP_BASELINE_TRAJ_PER_S, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

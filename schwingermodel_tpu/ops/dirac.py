@@ -73,18 +73,25 @@ def dirac(geom: Geometry, Uf: jax.Array, phi: jax.Array, m0) -> jax.Array:
     p1 = phi[..., 1, :, :]
     m = m0 + 2.0
 
-    p0_pt = shift_p_t(geom, p0)
-    p1_pt = shift_p_t(geom, p1)
-    p0_px = shift_p_x(geom, p0)
-    p1_px = shift_p_x(geom, p1)
+    # one shift per direction: same-direction operands ride one array so a
+    # sharded apply costs exactly 4 ppermutes (the collective count, not the
+    # halo bandwidth, dominates small-shard exchange)
+    p_pt = shift_p_t(geom, phi)
+    p0_pt = p_pt[..., 0, :, :]
+    p1_pt = p_pt[..., 1, :, :]
+    p_px = shift_p_x(geom, phi)
+    p0_px = p_px[..., 0, :, :]
+    p1_px = p_px[..., 1, :, :]
     # backward hops ship the link-multiplied, spin-projected product, the
     # same quantity the reference sends through its halos
     # (dirac_operator.cpp:49-52): conj(U) * (projected spinor), then shift.
     u0c = jnp.conj(u0)
     u1c = jnp.conj(u1)
     bt = shift_m_t(geom, u0c * (p0 + p1))             # spin structure (1+g0)
-    bx0 = shift_m_x(geom, u1c * (p0 - 1j * p1))
-    bx1 = shift_m_x(geom, u1c * (1j * p0 + p1))
+    bx = shift_m_x(geom, jnp.stack(
+        [u1c * (p0 - 1j * p1), u1c * (1j * p0 + p1)], axis=-3))
+    bx0 = bx[..., 0, :, :]
+    bx1 = bx[..., 1, :, :]
 
     d0 = m * p0 - 0.5 * (u0 * (p0_pt - p1_pt) + u1 * (p0_px + 1j * p1_px) + bt + bx0)
     d1 = m * p1 - 0.5 * (u0 * (p1_pt - p0_pt) + u1 * (p1_px - 1j * p0_px) + bt + bx1)
@@ -100,16 +107,21 @@ def dirac_dagger(geom: Geometry, Uf: jax.Array, phi: jax.Array, m0) -> jax.Array
     p1 = phi[..., 1, :, :]
     m = m0 + 2.0
 
-    p0_pt = shift_p_t(geom, p0)
-    p1_pt = shift_p_t(geom, p1)
-    p0_px = shift_p_x(geom, p0)
-    p1_px = shift_p_x(geom, p1)
+    # one shift per direction (4 ppermutes sharded) -- see dirac()
+    p_pt = shift_p_t(geom, phi)
+    p0_pt = p_pt[..., 0, :, :]
+    p1_pt = p_pt[..., 1, :, :]
+    p_px = shift_p_x(geom, phi)
+    p0_px = p_px[..., 0, :, :]
+    p1_px = p_px[..., 1, :, :]
     u0c = jnp.conj(u0)
     u1c = jnp.conj(u1)
     bt0 = shift_m_t(geom, u0c * (p0 - p1))
-    bt1 = shift_m_t(geom, u0c * (p1 - p0))
-    bx0 = shift_m_x(geom, u1c * (p0 + 1j * p1))
-    bx1 = shift_m_x(geom, u1c * (p1 - 1j * p0))
+    bt1 = -bt0                                        # exact: (p1-p0) = -(p0-p1)
+    bx = shift_m_x(geom, jnp.stack(
+        [u1c * (p0 + 1j * p1), u1c * (p1 - 1j * p0)], axis=-3))
+    bx0 = bx[..., 0, :, :]
+    bx1 = bx[..., 1, :, :]
 
     fwd_t = u0 * (p0_pt + p1_pt)                      # same for both spins
     d0 = m * p0 - 0.5 * (bt0 + bx0 + fwd_t + u1 * (p0_px - 1j * p1_px))
@@ -138,13 +150,15 @@ def fermion_force(geom: Geometry, Uf: jax.Array, left: jax.Array, right: jax.Arr
     r0 = right[..., 0, :, :]
     r1 = right[..., 1, :, :]
 
+    sh_t = shift_p_t(geom, jnp.stack([r0 - r1, l0 + l1], axis=-3))
+    sh_x = shift_p_x(geom, jnp.stack([r0 + 1j * r1, l0 - 1j * l1], axis=-3))
     f0 = jnp.imag(
-        u0 * jnp.conj(l0 - l1) * shift_p_t(geom, r0 - r1)
-        - jnp.conj(u0) * jnp.conj(shift_p_t(geom, l0 + l1)) * (r0 + r1)
+        u0 * jnp.conj(l0 - l1) * sh_t[..., 0, :, :]
+        - jnp.conj(u0) * jnp.conj(sh_t[..., 1, :, :]) * (r0 + r1)
     )
     f1 = jnp.imag(
-        u1 * jnp.conj(l0 + 1j * l1) * shift_p_x(geom, r0 + 1j * r1)
-        + jnp.conj(u1) * jnp.conj(shift_p_x(geom, l0 - 1j * l1)) * (-r0 + 1j * r1)
+        u1 * jnp.conj(l0 + 1j * l1) * sh_x[..., 0, :, :]
+        + jnp.conj(u1) * jnp.conj(sh_x[..., 1, :, :]) * (-r0 + 1j * r1)
     )
     return jnp.stack([f0, f1], axis=-3)
 

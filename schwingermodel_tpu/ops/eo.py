@@ -120,13 +120,22 @@ def hop(geom: Geometry, U_tgt: jax.Array, U_src: jax.Array,
     s0 = S[..., 0, :, :]
     s1 = S[..., 1, :, :]
 
-    p0_pt = _gather_pt(geom, s0, off_tgt)
-    p1_pt = _gather_pt(geom, s1, off_tgt)
+    # one shift per direction: same-direction operands are stacked so a
+    # sharded hop costs exactly 4 ppermutes (one halo slab each for +t, -t,
+    # +x, -x) instead of 7 -- the collective count, not bandwidth, is what
+    # dominates small-shard halo exchange
+    S_pt = _gather_pt(geom, S, off_tgt)
+    p0_pt = S_pt[..., 0, :, :]
+    p1_pt = S_pt[..., 1, :, :]
     bt = _gather_mt(geom, jnp.conj(u0s) * (s0 + s1), off_tgt)
-    p0_px = shift_p_x(geom, s0)
-    p1_px = shift_p_x(geom, s1)
-    bx0 = shift_m_x(geom, jnp.conj(u1s) * (s0 - 1j * s1))
-    bx1 = shift_m_x(geom, jnp.conj(u1s) * (1j * s0 + s1))
+    S_px = shift_p_x(geom, S)
+    p0_px = S_px[..., 0, :, :]
+    p1_px = S_px[..., 1, :, :]
+    bx = shift_m_x(geom, jnp.stack(
+        [jnp.conj(u1s) * (s0 - 1j * s1), jnp.conj(u1s) * (1j * s0 + s1)],
+        axis=-3))
+    bx0 = bx[..., 0, :, :]
+    bx1 = bx[..., 1, :, :]
 
     h0 = u0t * (p0_pt - p1_pt) + u1t * (p0_px + 1j * p1_px) + bt + bx0
     h1 = u0t * (p1_pt - p0_pt) + u1t * (p1_px - 1j * p0_px) + bt + bx1
@@ -148,15 +157,22 @@ def hop_dag(geom: Geometry, U_tgt: jax.Array, U_src: jax.Array,
     s0 = S[..., 0, :, :]
     s1 = S[..., 1, :, :]
 
-    p0_pt = _gather_pt(geom, s0, off_tgt)
-    p1_pt = _gather_pt(geom, s1, off_tgt)
+    # one shift per direction (4 ppermutes sharded) -- see hop()
+    S_pt = _gather_pt(geom, S, off_tgt)
+    p0_pt = S_pt[..., 0, :, :]
+    p1_pt = S_pt[..., 1, :, :]
     fwd_t = u0t * (p0_pt + p1_pt)
-    bt0 = _gather_mt(geom, jnp.conj(u0s) * (s0 - s1), off_tgt)
-    bt1 = _gather_mt(geom, jnp.conj(u0s) * (s1 - s0), off_tgt)
-    p0_px = shift_p_x(geom, s0)
-    p1_px = shift_p_x(geom, s1)
-    bx0 = shift_m_x(geom, jnp.conj(u1s) * (s0 + 1j * s1))
-    bx1 = shift_m_x(geom, jnp.conj(u1s) * (s1 - 1j * s0))
+    bt01 = jnp.conj(u0s) * (s0 - s1)
+    bt = _gather_mt(geom, bt01, off_tgt)
+    bt0, bt1 = bt, -bt
+    S_px = shift_p_x(geom, S)
+    p0_px = S_px[..., 0, :, :]
+    p1_px = S_px[..., 1, :, :]
+    bx = shift_m_x(geom, jnp.stack(
+        [jnp.conj(u1s) * (s0 + 1j * s1), jnp.conj(u1s) * (s1 - 1j * s0)],
+        axis=-3))
+    bx0 = bx[..., 0, :, :]
+    bx1 = bx[..., 1, :, :]
 
     h0 = bt0 + bx0 + fwd_t + u1t * (p0_px - 1j * p1_px)
     h1 = bt1 + bx1 + fwd_t + u1t * (p1_px + 1j * p0_px)

@@ -102,6 +102,41 @@ def test_fused_cg_vmap_chains():
         assert int(batched.iters[i]) == int(single.iters)
 
 
+def test_fused_cg_vmap_per_chain_links():
+    """Lane-packed vmap with DIFFERENT gauge configurations per chain (the
+    HMC multi-chain case): every chain's packed solution and iteration
+    count matches its standalone single solve -- in-chain time shifts and
+    per-chain dots must not leak across the chain-block boundary."""
+    rng = np.random.default_rng(11)
+    C, Nx, Nt = 3, 8, 8
+    lat = LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32")
+    hmc = HMCParams(beta=2.0, m0=0.1, even_odd=True,
+                    cg=CGParams(tol=1e-5, max_iter=500))
+    model = SchwingerModel(lattice=lat, hmc=hmc)
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, (C, 2, Nx, Nt)),
+                         dtype=jnp.float32)
+    vs = jnp.asarray(
+        rng.standard_normal((C, 2, Nx, Nt // 2))
+        + 1j * rng.standard_normal((C, 2, Nx, Nt // 2)), dtype=jnp.complex64)
+
+    def solve(theta, v):
+        ops = model.eo_ops(theta)
+        b = ops.dhat(v)
+        return cg_solve_eo_fused(ops.Ue, ops.Uo, b, b,
+                                 m0=float(model.hmc.m0), tol=1e-5,
+                                 max_iter=500, interpret=True)
+
+    batched = jax.vmap(solve)(thetas, vs)
+    # different configs -> different iteration counts; the packed kernel
+    # must freeze early-converging chains, not run them to max-over-chains
+    for i in range(C):
+        single = solve(thetas[i], vs[i])
+        assert int(batched.iters[i]) == int(single.iters)
+        assert bool(batched.converged[i])
+        np.testing.assert_allclose(np.asarray(batched.x[i]),
+                                   np.asarray(single.x), atol=1e-5, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_trajectory_fused_vs_jnp():
     """Full HMC trajectories agree (accept decisions and dH) when solves go
