@@ -50,6 +50,44 @@ class CondensateResult(NamedTuple):
     solves: SolveStats      # CG diagnostics
 
 
+def condensate_noise(model: SchwingerModel, key: jax.Array,
+                     theta_shape, n_noise: int = 8) -> jax.Array:
+    """[n_noise, 2, Nx, Nt] Z2xZ2 complex noise (entries (+-1 +- i)/sqrt2,
+    E[z z^+] = I) for the stochastic trace. Drawn at the GLOBAL field shape:
+    under a device mesh, draw outside shard_map and let GSPMD shard it (same
+    discipline as the HMC noise, parallel/sharded.py)."""
+    keys = jax.random.split(key, n_noise)
+    return jax.vmap(
+        lambda k: prng.z2_complex(k, tuple(theta_shape), model.lattice.rdtype)
+    )(keys)
+
+
+def chiral_condensate_given_noise(
+    model: SchwingerModel, theta: jax.Array, zs: jax.Array,
+) -> CondensateResult:
+    """Stochastic <psibar psi> from pre-drawn noise vectors zs
+    [n_noise, 2, Nx, Nt] (see chiral_condensate). Shard_map-safe: zs carry
+    the field sharding, all reductions ride the geometry."""
+    Uf = model.fermion_links(theta)
+    m0 = model.hmc.m0
+
+    def one(z):
+        res = model.solve_normal_given_links(Uf, z)
+        w = dops.dirac_dagger(model.geom, Uf, res.x, m0)   # D^{-1} z
+        est = dops.spinor_dot(model.geom, z, w)
+        return jnp.real(est), res.iters, res.converged
+
+    ests, iters, convs = jax.lax.map(one, zs)
+    stats = SolveStats(
+        iters=jnp.sum(iters),
+        n_solves=jnp.int32(zs.shape[0]),
+        all_converged=jnp.all(convs),
+    )
+    return CondensateResult(
+        value=jnp.mean(ests) / model.lattice.volume, solves=stats
+    )
+
+
 def chiral_condensate(
     model: SchwingerModel,
     theta: jax.Array,
@@ -65,27 +103,8 @@ def chiral_condensate(
     validation observable but the reference never measures it --
     SURVEY.md section 5.)
     """
-    Uf = model.fermion_links(theta)
-    m0 = model.hmc.m0
-
-    def one(k):
-        # Z2 x Z2 complex noise: entries (+-1 +- i)/sqrt(2), E[z z^+] = I
-        z = prng.z2_complex(k, theta.shape, model.lattice.rdtype)
-        res = model.solve_normal_given_links(Uf, z)
-        w = dops.dirac_dagger(model.geom, Uf, res.x, m0)   # D^{-1} z
-        est = dops.spinor_dot(model.geom, z, w)
-        return jnp.real(est), res.iters, res.converged
-
-    keys = jax.random.split(key, n_noise)
-    ests, iters, convs = jax.lax.map(one, keys)
-    stats = SolveStats(
-        iters=jnp.sum(iters),
-        n_solves=jnp.int32(n_noise),
-        all_converged=jnp.all(convs),
-    )
-    return CondensateResult(
-        value=jnp.mean(ests) / model.lattice.volume, solves=stats
-    )
+    zs = condensate_noise(model, key, theta.shape, n_noise)
+    return chiral_condensate_given_noise(model, theta, zs)
 
 
 def measure_all(

@@ -436,12 +436,16 @@ def _cg_kernel_mc(ue_ref, uo_ref, b_ref, x0_ref,
     bnorm_ref[...] = bnorm2
 
 
-# VMEM budget for the packed solve. Measured on v5e (16 MB scoped vmem):
-# 64x64, C=32 (N=1024) allocates 19.56 MB -> ~75 f32-plane-equivalents of
-# [Nx, N] (CG carries + stencil temporaries + Mosaic double buffering), so
-# the model is 75 planes against a 14 MB budget. Past it the custom_vmap
-# rule splits the batch into lane-packed chunks (or single solves).
-_VMEM_BUDGET_BYTES = 14 << 20
+# VMEM budget for the packed solve. Measured on v5e: 64x64 C=32 (N=1024)
+# allocates 19.56 MB of scoped vmem -> ~75 f32-plane-equivalents of [Nx, N]
+# (CG carries + stencil temporaries + Mosaic double buffering). The default
+# scoped limit is 16 MB but v5e can run with it raised (C=32 measured 1.6x
+# better aggregate than C=16), so the packed call requests
+# _VMEM_LIMIT_BYTES and the budget gates against it with headroom. Past it
+# the custom_vmap rule splits the batch into lane-packed chunks (or single
+# solves).
+_VMEM_LIMIT_BYTES = 32 << 20
+_VMEM_BUDGET_BYTES = 30 << 20
 
 
 def _packed_vmem_bytes(Nx: int, N: int) -> int:
@@ -482,6 +486,8 @@ def cg_solve_eo_fused_chains(Ue: jax.Array, Uo: jax.Array, b: jax.Array,
         in_specs=[vspec, vspec, vspec, vspec],
         out_specs=(vspec, vspec, vspec, vspec),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(_planar(pack(Ue)), _planar(pack(Uo)), _planar(pack(b)),
       _planar(pack(x0)))
 

@@ -47,7 +47,7 @@ def compare_point(ref: dict, args) -> dict:
     lattice = LatticeParams(Nx=ref["Nx"], Nt=ref["Nt"], real_dtype=dtype)
     hmc = HMCParams(
         beta=ref["beta"], m0=ref["m0"], md_steps=ref["md_steps"],
-        trajectory_length=ref["tau"], even_odd=True,
+        trajectory_length=ref["tau"], even_odd=args.even_odd,
         cg=CGParams(tol=1e-10 if (dtype == "float64" or args.refine) else 1e-6,
                     max_iter=10000, refine=args.refine),
     )
@@ -81,7 +81,7 @@ def compare_point(ref: dict, args) -> dict:
         "pass_acc": dev_acc <= args.n_sigma_acc * sig_acc,
         "seconds": res.elapsed_seconds,
         "nmeas": nmeas, "chains": args.chains, "dtype": dtype,
-        "refine": args.refine,
+        "refine": args.refine, "even_odd": args.even_odd,
     }
 
 
@@ -102,6 +102,13 @@ def main(argv=None) -> int:
     p.add_argument("--refine", action="store_true", default=None,
                    help="mixed-precision 1e-10 solves on f32 (default on)")
     p.add_argument("--no-refine", dest="refine", action="store_false")
+    p.add_argument("--even-odd", dest="even_odd", action="store_true",
+                   default=False,
+                   help="use the even-odd preconditioned action (faster, "
+                        "same gauge distribution -- plaquette gate valid). "
+                        "Default OFF: acceptance is an ALGORITHM property "
+                        "and only comparable to the reference with its "
+                        "full-D pseudofermion action")
     p.add_argument("--n-sigma", type=float, default=2.0)
     p.add_argument("--n-sigma-acc", type=float, default=3.0,
                    help="acceptance gate (binomial, autocorrelation slack)")
@@ -160,6 +167,7 @@ def main(argv=None) -> int:
         with open(args.markdown, "w") as f:
             f.write("# Cross-validation vs the C++ reference\n\n")
             f.write(f"Framework: dtype={args.dtype}, refine={args.refine}, "
+                    f"even_odd={args.even_odd}, "
                     f"chains={args.chains}, backend={jax.default_backend()}."
                     f" Gate: |ΔEp| ≤ {args.n_sigma:g}σ (combined jackknife),"
                     f" |Δacc| ≤ {args.n_sigma_acc:g}σ (binomial).\n\n")

@@ -22,6 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# the suite is compile-bound (this box has 2 cores); the persistent cache is
+# keyed per-host CPU signature (utils/cache.py) so reruns drop from ~10 min
+# to ~2. `pytest -n 2` (xdist) also works for another ~2x.
+from schwingermodel_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

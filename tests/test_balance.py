@@ -92,6 +92,7 @@ def test_expmdh_unity_fused_kernel():
     _assert_expmdh_unity(st, n_sigma=4.0, floor=2e-2)
 
 
+@pytest.mark.slow
 def test_dH_scales_as_dt_squared(rng):
     """Leapfrog is O(dt^2): fixed trajectory length, md_steps 8->16->32
     contracts |dH| ~4x per doubling (reference HMC_doc.pdf validation)."""

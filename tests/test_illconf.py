@@ -13,6 +13,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from schwingermodel_tpu.config import CGParams, HMCParams, LatticeParams, RunParams
 from schwingermodel_tpu.hmc.sampler import hmc_trajectory
@@ -65,6 +66,7 @@ def test_fast_path_captures_with_trajectory_indices(tmp_path):
         assert os.path.exists(os.path.join(tmp_path, r["file"]))
 
 
+@pytest.mark.slow
 def test_healthy_run_dumps_nothing(tmp_path):
     hmc = HMCParams(beta=2.0, m0=0.1, md_steps=4, trajectory_length=0.5,
                     even_odd=True, cg=CGParams(tol=1e-10, max_iter=10000))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from schwingermodel_tpu import observables as obs
 from schwingermodel_tpu.config import CGParams, HMCParams, LatticeParams
@@ -51,6 +52,81 @@ def test_condensate_free_field_matches_momentum_sum():
     exact = free_condensate_exact(Nx, Nt, m0)
     assert bool(res.solves.all_converged)
     np.testing.assert_allclose(float(res.value), exact, rtol=0.05)
+
+
+def _dense_dirac(model, theta):
+    """Dense matrix of D(theta) built by applying the operator to the
+    canonical basis -- an exact, implementation-independent oracle."""
+    Nx, Nt = model.lattice.Nx, model.lattice.Nt
+    n = 2 * Nx * Nt
+    eye = jnp.eye(n, dtype=model.lattice.cdtype).reshape(n, 2, Nx, Nt)
+    cols = jax.vmap(lambda e: model.D(theta, e).reshape(n))(eye)
+    return np.asarray(cols).T
+
+
+@pytest.mark.slow
+def test_condensate_interacting_matches_dense_trace():
+    """Stochastic condensate on a THERMALIZED near-critical configuration
+    vs the exact dense Tr D^{-1} (VERDICT round-1 item 8: the condensate was
+    only free-field-tested). beta=2, m0=-0.19 sits near the critical mass
+    -0.1968(9) of the reference's table (README.md:100-111), where D is at
+    its most ill-conditioned."""
+    from schwingermodel_tpu.hmc import sampler
+    from schwingermodel_tpu.utils import prng
+
+    model = _model(m0=-0.19, beta=2.0, tol=1e-12)
+    key = prng.root_key(3)
+    theta = jnp.asarray(random_theta(np.random.default_rng(0), 8, 8))
+
+    @jax.jit
+    def block(th, ks):
+        return jax.lax.scan(
+            lambda t, k: sampler.hmc_trajectory(model, t, k), th, ks)
+
+    ks = jax.vmap(lambda i: prng.trajectory_key(key, i))(jnp.arange(80))
+    theta, _ = block(theta, ks)
+
+    D = _dense_dirac(model, theta)
+    exact = float(np.real(np.trace(np.linalg.inv(D)))) / model.lattice.volume
+
+    res = obs.chiral_condensate(model, theta, jax.random.PRNGKey(7),
+                                n_noise=256)
+    assert bool(res.solves.all_converged)
+    np.testing.assert_allclose(float(res.value), exact, rtol=0.08)
+
+
+def test_condensate_sharded_matches_single_device():
+    """The condensate measurement chain (Z2 noise -> CG -> D^+ -> trace dot)
+    under a 2D lattice mesh equals the single-device value (the sharded-mesh
+    condensate path was never exercised -- VERDICT round-1 item 8)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from schwingermodel_tpu.parallel.mesh import lattice_mesh
+    from schwingermodel_tpu.parallel.sharded import sharded_model
+
+    model = _model(m0=0.1, beta=2.0, tol=1e-12)
+    theta = jnp.asarray(random_theta(np.random.default_rng(2), 8, 8))
+    zs = obs.condensate_noise(model, jax.random.PRNGKey(11), theta.shape,
+                              n_noise=8)
+
+    single = obs.chiral_condensate_given_noise(model, theta, zs)
+
+    mesh = lattice_mesh((2, 2))
+    inner = sharded_model(model)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, "x", "t"), P(None, None, "x", "t")),
+             out_specs=P(), check_vma=False)
+    def measure(th, zs):
+        return obs.chiral_condensate_given_noise(inner, th, zs).value
+
+    got = measure(theta, zs)
+    # same noise fields, psum'd dots: agreement to solver/reduction roundoff
+    np.testing.assert_allclose(float(got), float(single.value),
+                               rtol=1e-9, atol=1e-10)
 
 
 def test_topological_charge_integer(rng):

@@ -145,6 +145,7 @@ def test_refine_uses_forecast_guess(rng):
     assert rel < 2 * TOL
 
 
+@pytest.mark.slow
 def test_refined_trajectory_dH_matches_f64(rng):
     """End-to-end: one HMC trajectory at the refined-f32 operating point
     reproduces the all-f64 trajectory's dH to MD (f32-force) accuracy."""

@@ -89,6 +89,7 @@ def test_finalize_quantizes_md_steps():
     assert at.finalize(hmc, eps=1e-9).md_steps == 1000  # ceiling
 
 
+@pytest.mark.slow
 def test_runner_autotune_end_to_end(tmp_path):
     lat = LatticeParams(Nx=8, Nt=8, real_dtype="float64")
     hmc = HMCParams(beta=2.0, m0=0.1, md_steps=4, trajectory_length=1.0,
@@ -126,6 +127,7 @@ def test_beta_scan_quenched_matches_exact():
             f"dEp={res.dEp[i]:.1e}")
 
 
+@pytest.mark.slow
 def test_beta_scan_two_flavor_runs():
     """Dynamical-fermion scan executes and fermions raise <P> above quenched."""
     lat = LatticeParams(Nx=8, Nt=8, real_dtype="float64")
