@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cg-inner-tol", type=float, default=1e-5,
                    help="relative tolerance of each f32 inner solve under "
                         "--cg-refine")
+    p.add_argument("--cg-refine-impl", choices=["auto", "x64", "dfloat"],
+                   default="auto",
+                   help="true-residual arithmetic: x64 (f64 emulation; "
+                        "unavailable on some TPU backends) or dfloat "
+                        "(double-float f32 pairs, solvers/dfloat.py). "
+                        "auto = dfloat on TPU, x64 elsewhere")
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
                    help="default: float32 on TPU, float64 on CPU")
     p.add_argument("--seed", type=int, default=0)
@@ -162,13 +168,28 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
     # Mixed-precision refinement: default ON for f32 runs, so the shipped
     # TPU configuration meets the reference's 1e-10 solver contract
-    # (src/main.cpp:26-27) out of the box. Needs x64 for the f64 residual.
+    # (src/main.cpp:26-27) out of the box. On TPU the true residual runs in
+    # double-float arithmetic (solvers/dfloat.py -- no x64 mode, which this
+    # TPU backend cannot execute); elsewhere in f64.
     cg_refine = args.cg_refine if args.cg_refine is not None else (
         dtype == "float32")
     if dtype != "float32":
         cg_refine = False
-    if cg_refine:
+    refine_impl = args.cg_refine_impl
+    if refine_impl == "auto":
+        refine_impl = "dfloat" if on_tpu else "x64"
+    if cg_refine and refine_impl == "x64":
         jax.config.update("jax_enable_x64", True)
+    if cg_refine and refine_impl == "dfloat":
+        from schwingermodel_tpu.solvers.dfloat import eft_selfcheck
+
+        if not eft_selfcheck():
+            raise SystemExit(
+                "--cg-refine (dfloat impl): this backend's compiler breaks "
+                "the error-free float transforms double-float arithmetic "
+                "needs (XLA:CPU contracts mul+add to FMA). Use "
+                "--cg-refine-impl x64, or on CPU set "
+                "XLA_FLAGS=--xla_backend_optimization_level=0")
 
     # ---- parameters: flags, else reference-style stdin prompts ----
     need_stdin = any(
@@ -219,7 +240,7 @@ def main(argv=None) -> int:
             trajectory_length=args.tau, quenched=args.quenched,
             even_odd=even_odd, cg_forecast=args.cg_forecast,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter,
-                        refine=cg_refine, inner_tol=args.cg_inner_tol),
+                        refine=cg_refine, refine_impl=refine_impl, inner_tol=args.cg_inner_tol),
         )
         mesh_shape = (args.ranks_x, args.ranks_t)
         if args.ranks_chain > 1:

@@ -70,6 +70,13 @@ class CGParams:
     # Ignored when the working dtype is already float64. Needs
     # jax_enable_x64 (the CLI turns it on when this is set).
     refine: bool = False
+    # Refinement arithmetic for the true residual: "x64" uses f64 (needs
+    # jax_enable_x64; native on CPU, unavailable on some TPU backends),
+    # "dfloat" uses double-float f32-pair arithmetic (solvers/dfloat.py;
+    # TPU-native, no x64 anywhere -- requires a backend that preserves
+    # error-free transforms, dfloat.eft_selfcheck). "auto" = dfloat on TPU,
+    # x64 elsewhere.
+    refine_impl: str = "auto"
     # Relative tolerance of each f32 inner solve; the refinement loop
     # contracts the true residual by ~max(inner_tol, kappa*eps_f32) per pass.
     inner_tol: float = 1e-5

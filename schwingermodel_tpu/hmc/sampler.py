@@ -91,12 +91,25 @@ def trajectory_given_noise(
     if quenched:
         sf_old = 0.0
     elif model.hmc.exact_initial_fermion_action:
-        # f64 accumulation under refinement (Metropolis-grade dH); the
-        # squares of the f32 components are exact in f64
-        acc_t = jnp.float64 if model._refine_active() else chi.real.dtype
-        sf_old = model.geom.gsum(jnp.sum(
-            jnp.real(chi).astype(acc_t) ** 2
-            + jnp.imag(chi).astype(acc_t) ** 2, axis=-3))
+        if model._refine_active() and model._refine_impl() == "dfloat":
+            # double-float accumulation (Metropolis-grade dH, no x64):
+            # the component squares are exact in two_prod
+            from schwingermodel_tpu.solvers.dfloat import df_add, df_sum_all, two_prod
+
+            t = df_add(two_prod(jnp.real(chi), jnp.real(chi)),
+                       two_prod(jnp.imag(chi), jnp.imag(chi)))
+            s_hi, s_lo = df_sum_all(t)
+            if model.geom.is_sharded:
+                s_hi = model.geom.gsum_all(s_hi)
+                s_lo = model.geom.gsum_all(s_lo)
+            sf_old = s_hi + s_lo
+        else:
+            # f64 accumulation under x64 refinement; the squares of the
+            # f32 components are exact in f64
+            acc_t = jnp.float64 if model._refine_active() else chi.real.dtype
+            sf_old = model.geom.gsum(jnp.sum(
+                jnp.real(chi).astype(acc_t) ** 2
+                + jnp.imag(chi).astype(acc_t) ** 2, axis=-3))
     else:
         sf_old, stats = model.fermion_action(theta, phi, stats)
     H_old = kin_old + sg_old + sf_old

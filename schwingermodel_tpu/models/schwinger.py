@@ -115,18 +115,32 @@ class SchwingerModel:
 
         return to_c64(v)
 
+    def _refine_impl(self) -> str:
+        """Resolve cg.refine_impl ("auto" -> dfloat on TPU, x64 elsewhere).
+
+        dfloat (solvers/dfloat.py) runs the true residual in double-float
+        f32 pairs -- the only option on TPU backends where x64 programs
+        cannot execute; x64 uses complex128 accumulation (native on CPU)."""
+        impl = self.hmc.cg.refine_impl
+        if impl == "auto":
+            return "dfloat" if jax.default_backend() == "tpu" else "x64"
+        if impl not in ("x64", "dfloat"):
+            raise ValueError(f"cg.refine_impl={impl!r}: want auto|x64|dfloat")
+        return impl
+
     def _refine_active(self) -> bool:
-        """True when solves should meet cg.tol in f64 via iterative
-        refinement: requested, and the working dtype is f32 (an f64 run
-        already solves at full precision natively)."""
+        """True when solves should meet cg.tol in f64(-grade) precision via
+        iterative refinement: requested, and the working dtype is f32 (an
+        f64 run already solves at full precision natively)."""
         if not self.hmc.cg.refine:
             return False
         if self.lattice.rdtype != jnp.float32:
             return False
-        if not jax.config.jax_enable_x64:
+        if self._refine_impl() == "x64" and not jax.config.jax_enable_x64:
             raise RuntimeError(
-                "cg.refine needs jax_enable_x64 for the f64 residual "
-                "accumulation (the CLI enables it with --cg-refine)")
+                "cg.refine with the x64 impl needs jax_enable_x64 (the CLI "
+                "enables it with --cg-refine); on backends without x64 use "
+                "cg.refine_impl='dfloat'")
         return True
 
     def fermion_links_hi(self, theta: jax.Array) -> jax.Array:
@@ -143,24 +157,41 @@ class SchwingerModel:
         return dops.fermion_links(U, sign)
 
     def _solve_eo_refined(self, theta: jax.Array, ops: eo.EOOperators,
-                          b: jax.Array, x0=None) -> CGResult:
-        """(Dhat Dhat^+)^{-1} b meeting cg.tol in f64: f32 inner solves
-        (fused Pallas kernel when enabled) + f64 residual refinement."""
-        from schwingermodel_tpu.solvers.refine import cg_refine
+                          b: jax.Array, x0=None):
+        """(Dhat Dhat^+)^{-1} b meeting cg.tol at f64 grade: f32 inner
+        solves (fused Pallas kernel when enabled) + true-residual
+        refinement in f64 (x64 impl) or double-float (dfloat impl).
 
-        ops_hi = eo.EOOperators(self.geom, self.fermion_links_hi(theta),
-                                self.hmc.m0)
+        Returns (CGResult, x_df): x_df is the DFComplex solution under the
+        dfloat impl (for df-accurate action dots), else None."""
 
         def inner(rhs, x0_lo):
             res = self._solve_eo_lo(ops, rhs, x0=x0_lo,
                                     tol=self.hmc.cg.inner_tol)
             return res.x, res.iters
 
-        return cg_refine(
+        if self._refine_impl() == "dfloat":
+            from schwingermodel_tpu.ops.eo_df import EOOperatorsDF
+            from schwingermodel_tpu.solvers.refine import cg_refine_df
+
+            ops_df = EOOperatorsDF(self.geom, theta, self.hmc.m0,
+                                   self.lattice.Nt)
+            return cg_refine_df(
+                ops_df.normal, inner, b, self._dot_re,
+                tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer,
+                x0=x0,
+            )
+
+        from schwingermodel_tpu.solvers.refine import cg_refine
+
+        ops_hi = eo.EOOperators(self.geom, self.fermion_links_hi(theta),
+                                self.hmc.m0)
+        res = cg_refine(
             ops_hi.normal, inner, b, self._dot_re,
             tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer,
             x0=x0,
         )
+        return res, None
 
     def _use_fused_cg(self) -> bool:
         """Resolve HMCParams.fused_cg (None = auto; trace-time decision)."""
@@ -202,7 +233,7 @@ class SchwingerModel:
         refinement to the f64 cg.tol when active, else the working-precision
         solver at cg.tol."""
         if self._refine_active():
-            return self._solve_eo_refined(theta, ops, b, x0=x0)
+            return self._solve_eo_refined(theta, ops, b, x0=x0)[0]
         return self._solve_eo_lo(ops, b, x0=x0)
 
     def _solve_full(self, theta: jax.Array, Uf: jax.Array, b: jax.Array,
@@ -314,8 +345,12 @@ class SchwingerModel:
         if self._refine_active():
             # Metropolis-grade energies: at 64x64 an f32 plaquette sum
             # carries O(1e-2) absolute error in S_g -- comparable to dH
-            # itself. Two f64 evaluations per trajectory are negligible
-            # next to the CG work.
+            # itself. Two high-precision evaluations per trajectory are
+            # negligible next to the CG work.
+            if self._refine_impl() == "dfloat":
+                from schwingermodel_tpu.ops.eo_df import gauge_action_df
+
+                return gauge_action_df(self.geom, theta, beta)
             U_hi = gops.links(theta.astype(jnp.float64), jnp.complex128)
             return gops.gauge_action(self.geom, U_hi, beta)
         return gops.gauge_action(self.geom, self.links(theta), beta)
@@ -331,6 +366,16 @@ class SchwingerModel:
         Under cg.refine the solution is f64-accurate, and the action dot
         runs in f64 (conj(phi)*x promotes), so S_f enters the Metropolis
         dH at the reference's solver precision."""
+        if self.hmc.even_odd and self._refine_active() \
+                and self._refine_impl() == "dfloat":
+            # df impl: the solution's f64-grade accuracy lives in the df
+            # pair; dot it with phi in df so S_f enters dH at solve grade
+            from schwingermodel_tpu.solvers.dfloat import df_dot_re
+
+            res, x_df = self._solve_eo_refined(
+                theta, self.eo_ops(theta), phi, x0=x0)
+            s_hi, s_lo = df_dot_re(phi, x_df)
+            return s_hi + s_lo, stats.merge(res)
         if self.hmc.even_odd:
             res = self._solve_eo(theta, self.eo_ops(theta), phi, x0=x0)
         else:
@@ -347,8 +392,19 @@ class SchwingerModel:
     def kinetic(self, pi: jax.Array) -> jax.Array:
         """0.5 sum pi^2 (reference HMC::Hamiltonian, src/hmc.cpp:138-144).
 
-        Accumulated in f64 under cg.refine (Metropolis-grade dH)."""
+        Accumulated in f64 (x64 impl) or double-float (dfloat impl) under
+        cg.refine -- Metropolis-grade dH."""
         if self._refine_active():
+            if self._refine_impl() == "dfloat":
+                from schwingermodel_tpu.solvers.dfloat import (
+                    df_sum_all, two_prod,
+                )
+
+                s_hi, s_lo = df_sum_all(two_prod(pi, pi))
+                if self.geom.is_sharded:
+                    s_hi = self.geom.gsum_all(s_hi)
+                    s_lo = self.geom.gsum_all(s_lo)
+                return 0.5 * (s_hi + s_lo)
             pi = pi.astype(jnp.float64)
         return 0.5 * self.geom.gsum(jnp.sum(pi * pi, axis=-3))
 

@@ -113,3 +113,74 @@ def cg_refine(
     rel = jnp.sqrt(rho) * lax.rsqrt(
         jnp.maximum(b_norm2, jnp.finfo(rho.dtype).tiny))
     return CGResult(x=x, iters=iters, converged=rho < stop2, rel_residual=rel)
+
+
+def cg_refine_df(
+    normal_df: Callable,
+    inner_solve: Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]],
+    b: jax.Array,
+    dot_re: Callable[[jax.Array, jax.Array], jax.Array],
+    *,
+    tol: float = 1e-10,
+    max_outer: int = 8,
+    x0: jax.Array | None = None,
+):
+    """Iterative refinement with the TRUE residual in double-float (df)
+    arithmetic -- f64-grade accuracy with only f32 ops, for TPUs where x64
+    emulation is unavailable (solvers/dfloat.py rationale; the backend must
+    preserve error-free transforms -- dfloat.eft_selfcheck).
+
+    normal_df  : DFComplex -> DFComplex apply of A (ops/eo_df.EOOperatorsDF
+                 .normal) at ~1e-14 relative accuracy.
+    inner_solve: (rhs_c64, x0_c64) -> (dx_c64, iters); the f32 solver (fused
+                 Pallas kernel or jnp CG) at its loose tolerance.
+    b          : complex64 right-hand side (exact f32 values).
+    dot_re     : geometry-aware Re<x,y> on complex64 (residual norms only
+                 need f32 relative accuracy; the STATE is what must be df).
+
+    Returns (CGResult with x = complex64 round of the df solution, x_df).
+    The convergence flag certifies ||r||_df < tol ||b|| -- the reference's
+    own criterion (src/conjugate_gradient.cpp:45) measured at ~1e-15
+    resolution. Same stagnation early-exit as cg_refine.
+    """
+    from schwingermodel_tpu.solvers.dfloat import (
+        DFComplex, dfc_from_c, dfc_sub, dfc_to_c, dfc_add,
+    )
+
+    b_df = dfc_from_c(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    x = dfc_from_c(x0)
+
+    b_norm2 = dot_re(b, b)
+    stop2 = jnp.asarray(tol * tol, b_norm2.dtype) * b_norm2
+
+    r = dfc_sub(b_df, normal_df(x))
+    r_c = dfc_to_c(r)
+    rho = dot_re(r_c, r_c)
+
+    def cond(carry):
+        _, _, rho, rho_prev, k, iters = carry
+        active = jnp.logical_and(rho >= stop2, k < max_outer)
+        progressing = jnp.logical_or(k == 0, rho * 4.0 <= rho_prev)
+        return jnp.logical_and(active, progressing)
+
+    def body(carry):
+        x, r, rho, _, k, iters = carry
+        r_c = dfc_to_c(r)
+        d, inner_iters = inner_solve(r_c, jnp.zeros_like(r_c))
+        x = dfc_add(x, dfc_from_c(d))
+        r = dfc_sub(b_df, normal_df(x))
+        r_c2 = dfc_to_c(r)
+        rho_new = dot_re(r_c2, r_c2)
+        return (x, r, rho_new, rho, k + 1, iters + inner_iters)
+
+    x, r, rho, _, k, iters = lax.while_loop(
+        cond, body,
+        (x, r, rho, jnp.full_like(rho, jnp.inf), jnp.int32(0), jnp.int32(0)))
+
+    rel = jnp.sqrt(rho) * lax.rsqrt(
+        jnp.maximum(b_norm2, jnp.finfo(rho.dtype).tiny))
+    res = CGResult(x=dfc_to_c(x), iters=iters, converged=rho < stop2,
+                   rel_residual=rel)
+    return res, x
