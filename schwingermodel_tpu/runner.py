@@ -428,9 +428,22 @@ def run_hmc(
 
     # ---- summary (hmc.cpp:213-214: mean + 20-bin jackknife) ----
     def _jack(name):
-        x = chains[name].reshape(len(chains[name]), -1).mean(axis=1)
-        n_bins = min(20, max(2, len(x) // 2))
-        return statistics.mean(x), statistics.jackknife_error(x, n_bins)
+        x = chains[name].reshape(len(chains[name]), -1)   # [n_meas, n_chains]
+        n_meas, n_ch = x.shape
+        if n_ch == 1:
+            n_bins = min(20, max(2, n_meas // 2))
+            return statistics.mean(x[:, 0]), statistics.jackknife_error(
+                x[:, 0], n_bins)
+        # multi-chain: bin along TIME within each chain (autocorrelation is
+        # per-chain), then jackknife over the pooled chain x bin means --
+        # inter-chain variance enters the error instead of being averaged
+        # away by a per-measurement pooling
+        n_bins_t = min(20, max(2, n_meas // 2))
+        m = (n_meas // n_bins_t) * n_bins_t
+        b = x[:m].reshape(n_bins_t, m // n_bins_t, n_ch).mean(axis=1)
+        pooled = b.reshape(-1)                            # [n_bins_t * n_ch]
+        return float(x.mean()), statistics.jackknife_error(
+            pooled, len(pooled))
 
     Ep, dEp = _jack("plaquette")
     gS, dgS = _jack("gauge_action_density")

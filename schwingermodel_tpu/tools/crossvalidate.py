@@ -63,10 +63,22 @@ def compare_point(ref: dict, args) -> dict:
     sig = float(np.sqrt(ref["dEp"] ** 2 + res.dEp ** 2))
     dev = float(abs(res.Ep - ref["Ep"]))
     # acceptance: binomial errors from both runs (the golden runs used
-    # ntherm+nmeas*(1+nsteps) updates post-thermalization)
+    # ntherm+nmeas*(1+nsteps) updates post-thermalization), inflated by the
+    # autocorrelation of the run -- near the critical mass tau_int >> 1 and
+    # the naive binomial error understates the variance severely (two
+    # independent 4000-measurement runs at 16x16 beta=2 m0=-0.19 differ by
+    # ~6 binomial sigma while both agree with the reference plaquette to
+    # <0.1 sigma). The plaquette series carries the same slow mode, so its
+    # measured tau_int is the inflation estimate.
+    from schwingermodel_tpu.utils import statistics as st
+
+    tau = max(1.0, float(st.autocorrelation_time(
+        np.asarray(res.chains["plaquette"]).reshape(-1))))
+    infl = float(np.sqrt(2.0 * tau))
     n_ref = ref["nmeas"] * (1 + ref["nsteps"])
     p_r, p_o = ref["acceptance"], res.acceptance_rate
-    sig_acc = float(np.sqrt(p_r * (1 - p_r) / n_ref + p_o * (1 - p_o) / n_upd))
+    sig_acc = infl * float(
+        np.sqrt(p_r * (1 - p_r) / n_ref + p_o * (1 - p_o) / n_upd))
     dev_acc = float(abs(p_o - p_r))
     # decorrelated single measurements at nsteps>=1 are close to independent,
     # but allow the usual autocorrelation slack on the binomial gate
