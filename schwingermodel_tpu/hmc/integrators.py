@@ -68,3 +68,74 @@ def leapfrog(model: SchwingerModel, theta: jax.Array, pi: jax.Array,
     pi = pi + dt * F
     theta = theta + (0.5 * dt) * pi
     return theta, pi, stats, psi
+
+
+# Omelyan/Mryglod/Folk 2nd-order minimum-norm coefficient (2MN),
+# Comput. Phys. Commun. 151 (2003) 272, Eq. (31): minimizes the norm of the
+# O(dt^2) error operator; ~10x smaller |dH| than leapfrog per step.
+LAMBDA_2MN = 0.1931833275037836
+
+
+def omelyan(model: SchwingerModel, theta: jax.Array, pi: jax.Array,
+            phi: jax.Array, dt=None, beta=None):
+    """2MN position-version integrator; returns (theta', pi', stats, psi).
+
+    One step of size dt (two force evaluations):
+
+        theta += lam*dt*pi ; pi += dt/2*F ; theta += (1-2 lam)*dt*pi ;
+        pi += dt/2*F ; theta += lam*dt*pi
+
+    md_steps steps integrate the FULL trajectory_length (unlike the
+    reference's leapfrog convention, which integrates
+    (MD_steps-1)/MD_steps of it -- see the module docstring). Trailing and
+    leading theta-updates of adjacent steps are merged, so the per-step
+    cost is two forces + five axpys. Chronological forecasting threads the
+    previous solution through both force solves per step.
+
+    New capability beyond the reference: at equal force-evaluation budget
+    (md_steps_omelyan = md_steps_leapfrog / 2) the acceptance rate is
+    strictly higher (tests/test_balance.py)."""
+    dt = model.hmc.step_size if dt is None else dt
+    lam = LAMBDA_2MN
+    forecast = (model.hmc.cg_forecast and not model.hmc.quenched
+                and phi is not None)
+    n = model.hmc.md_steps
+
+    stats = SolveStats.zero()
+
+    theta = theta + (lam * dt) * pi
+    F, stats, psi = model.force(theta, phi, stats, beta)
+
+    def half_step(theta, pi, F, psi, stats, merge):
+        pi = pi + (0.5 * dt) * F
+        theta = theta + ((1.0 - 2.0 * lam) * dt) * pi
+        F, stats, psi = model.force(theta, phi, stats, beta,
+                                    x0=psi if forecast else None)
+        pi = pi + (0.5 * dt) * F
+        theta = theta + ((2.0 if merge else 1.0) * lam * dt) * pi
+        if merge:
+            F, stats, psi = model.force(theta, phi, stats, beta,
+                                        x0=psi if forecast else None)
+        return theta, pi, F, psi, stats
+
+    def body(carry, _):
+        theta, pi, F, psi, stats = carry
+        theta, pi, F, psi, stats = half_step(theta, pi, F, psi, stats, True)
+        return (theta, pi, F, psi, stats), None
+
+    if n > 1:
+        (theta, pi, F, psi, stats), _ = lax.scan(
+            body, (theta, pi, F, psi, stats), None, length=n - 1)
+    theta, pi, F, psi, stats = half_step(theta, pi, F, psi, stats, False)
+    return theta, pi, stats, psi
+
+
+def integrate(model: SchwingerModel, theta: jax.Array, pi: jax.Array,
+              phi: jax.Array, dt=None, beta=None):
+    """Dispatch on hmc.integrator ("leapfrog" | "omelyan")."""
+    name = model.hmc.integrator
+    if name == "leapfrog":
+        return leapfrog(model, theta, pi, phi, dt, beta)
+    if name == "omelyan":
+        return omelyan(model, theta, pi, phi, dt, beta)
+    raise ValueError(f"unknown integrator {name!r}")

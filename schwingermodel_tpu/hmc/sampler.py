@@ -39,7 +39,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from schwingermodel_tpu.hmc.integrators import leapfrog
+from schwingermodel_tpu.hmc.integrators import integrate
 from schwingermodel_tpu.models.schwinger import SchwingerModel, SolveStats
 from schwingermodel_tpu.utils import prng
 
@@ -115,7 +115,7 @@ def trajectory_given_noise(
     H_old = kin_old + sg_old + sf_old
 
     # --- MD evolution ---
-    theta_new, pi_new, stats, psi_last = leapfrog(model, theta, pi, phi, dt, beta)
+    theta_new, pi_new, stats, psi_last = integrate(model, theta, pi, phi, dt, beta)
 
     # --- new Hamiltonian ---
     if quenched:

@@ -152,7 +152,7 @@ def main(argv=None) -> int:
         def f(theta, v):
             ops = model.eo_ops(theta)
             def body(x, _):
-                res = model._solve_eo(ops, x)   # x0 = b restart
+                res = model._solve_eo(theta, ops, x)   # x0 = b restart
                 y = res.x
                 return y * jax.lax.rsqrt(
                     jnp.real(jnp.sum(jnp.conj(y) * y))), res.iters
@@ -172,7 +172,7 @@ def main(argv=None) -> int:
     def iters_to_tol(theta, v):
         ops = model.eo_ops(theta)
         b = ops.dhat(v)
-        res = model._solve_eo(ops, b)
+        res = model._solve_eo(theta, ops, b)
         return res.iters, res.converged
 
     it, conv = jax.device_get(iters_to_tol(theta, v_eo))

@@ -132,3 +132,54 @@ def test_full_d_reversibility(rng):
     th0, pi0, _, _ = leapfrog(model, th1, -pi1, phi)
     np.testing.assert_allclose(np.asarray(th0), np.asarray(theta), atol=1e-9)
     np.testing.assert_allclose(np.asarray(-pi0), np.asarray(pi), atol=1e-9)
+
+
+def test_omelyan_beats_leapfrog_at_equal_force_budget():
+    """2MN with md_steps=5 (10 force evals, full tau) vs leapfrog
+    md_steps=11 (10 force evals, tau*10/11 effective): |dH| must be
+    substantially smaller -- the integrator's selling point."""
+    import dataclasses
+
+    m_lf = _model("float64", refine=False, tol=1e-12, md_steps=11)
+    m_om = dataclasses.replace(
+        m_lf, hmc=dataclasses.replace(m_lf.hmc, md_steps=5,
+                                      integrator="omelyan"))
+    theta, _ = _run_chain(m_lf, 40, 1, seed=3)
+
+    def dHs(model, n=10):
+        out = []
+        key = prng.root_key(17)
+        for i in range(n):
+            k = prng.trajectory_key(key, i)
+            _, st = jax.jit(
+                lambda t, kk: sampler.hmc_trajectory(model, t, kk))(theta, k)
+            out.append(abs(float(st.delta_H)))
+        return np.mean(out)
+
+    a_lf = dHs(m_lf)
+    a_om = dHs(m_om)
+    assert a_om < 0.5 * a_lf, (a_om, a_lf)
+
+
+def test_omelyan_reversibility():
+    """Integrate forward, negate momenta, integrate back: identity to
+    roundoff (time-reversibility of the 2MN scheme)."""
+    import dataclasses
+
+    from schwingermodel_tpu.hmc.integrators import omelyan
+
+    model = _model("float64", refine=False, tol=1e-13, md_steps=6)
+    model = dataclasses.replace(
+        model, hmc=dataclasses.replace(model.hmc, integrator="omelyan"))
+    key = prng.root_key(5)
+    theta = jax.random.uniform(key, (2, 8, 8), minval=-np.pi, maxval=np.pi,
+                               dtype=jnp.float64)
+    pi, chi, _ = sampler.draw_noise(model, theta.shape, key)
+    phi = model.pseudofermion(theta, chi)
+
+    th1, pi1, _, _ = omelyan(model, theta, pi, phi)
+    th2, pi2, _, _ = omelyan(model, th1, -pi1, phi)
+    np.testing.assert_allclose(np.asarray(th2), np.asarray(theta),
+                               atol=5e-9)
+    np.testing.assert_allclose(np.asarray(-pi2), np.asarray(pi),
+                               atol=5e-9)

@@ -187,3 +187,40 @@ def test_refine_df_trajectory_dH_matches_x64():
     assert abs(float(st_df.delta_H) - float(st_x64.delta_H)) < 2e-3, (
         float(st_df.delta_H), float(st_x64.delta_H))
     assert bool(st_df.accepted) == bool(st_x64.accepted)
+
+
+def test_refine_df_sharded_matches_single_device():
+    """The df refinement path under a 2x2 lattice mesh (df hops ppermute
+    their four planes, df reductions psum hi/lo) equals the single-device
+    solve."""
+    from jax.sharding import PartitionSpec as P
+
+    from schwingermodel_tpu.parallel.mesh import lattice_mesh
+    from schwingermodel_tpu.parallel.sharded import sharded_model
+
+    rng = np.random.default_rng(12)
+    model = _model32()
+    theta = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 8, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 8, 4))
+                    + 1j * rng.standard_normal((2, 8, 4)), jnp.complex64)
+
+    def solve(m, th, v):
+        ops = m.eo_ops(th)
+        b = ops.dhat(v)
+        res, _ = m._solve_eo_refined(th, ops, b)
+        return res.x, res.converged, res.iters
+
+    x1, c1, i1 = jit0(partial(solve, model))(theta, v)
+
+    mesh = lattice_mesh((2, 2))
+    inner = sharded_model(model)
+    sh = jax.shard_map(
+        partial(solve, inner), mesh=mesh,
+        in_specs=(P(None, "x", "t"), P(None, "x", "t")),
+        out_specs=(P(None, "x", "t"), P(), P()),
+        check_vma=False)
+    x2, c2, i2 = jit0(sh)(theta, v)
+
+    assert bool(c1) and bool(c2)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-6, atol=1e-8)
