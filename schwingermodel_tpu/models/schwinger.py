@@ -236,38 +236,60 @@ class SchwingerModel:
             return self._solve_eo_refined(theta, ops, b, x0=x0)[0]
         return self._solve_eo_lo(ops, b, x0=x0)
 
-    def _solve_full(self, theta: jax.Array, Uf: jax.Array, b: jax.Array,
-                    x0=None) -> CGResult:
-        """(D D^+)^{-1} b for the full (non-even-odd) operator, with the same
-        precision dispatch as _solve_eo."""
+    def _solve_full_refined(self, theta: jax.Array, Uf: jax.Array,
+                            b: jax.Array, x0=None):
+        """(D D^+)^{-1} b for the full operator meeting cg.tol at f64 grade.
+
+        Returns (CGResult, x_df): x_df is the DFComplex solution under the
+        dfloat impl (for df-accurate action dots), else None. The dfloat
+        impl runs the true residual through ops/eo_df.FullOperatorsDF --
+        complex128 never appears, so this path works with x64 disabled (the
+        default TPU configuration; the x64 impl's f64 casts would silently
+        downcast there and stall refinement)."""
         m0 = self.hmc.m0
 
         def apply_lo(v):
             return dops.dirac_normal(self.geom, Uf, v, m0)
 
-        if self._refine_active():
-            from schwingermodel_tpu.solvers.refine import cg_refine
+        def inner(rhs, x0_lo):
+            res = cg_solve(
+                apply_lo, rhs, self._dot_re, x0=x0_lo,
+                tol=self.hmc.cg.inner_tol,
+                max_iter=self.hmc.cg.max_iter,
+                sync_pred=self.geom.sync_any,
+            )
+            return res.x, res.iters
 
-            Uf_hi = self.fermion_links_hi(theta)
+        if self._refine_impl() == "dfloat":
+            from schwingermodel_tpu.ops.eo_df import FullOperatorsDF
+            from schwingermodel_tpu.solvers.refine import cg_refine_df
 
-            def apply_hi(v):
-                return dops.dirac_normal(self.geom, Uf_hi, v, m0)
-
-            def inner(rhs, x0_lo):
-                res = cg_solve(
-                    apply_lo, rhs, self._dot_re, x0=x0_lo,
-                    tol=self.hmc.cg.inner_tol,
-                    max_iter=self.hmc.cg.max_iter,
-                    sync_pred=self.geom.sync_any,
-                )
-                return res.x, res.iters
-
-            return cg_refine(
-                apply_hi, inner, b, self._dot_re,
+            ops_df = FullOperatorsDF(self.geom, theta, m0, self.lattice.Nt)
+            return cg_refine_df(
+                ops_df.normal, inner, b, self._dot_re,
                 tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer, x0=x0)
 
+        from schwingermodel_tpu.solvers.refine import cg_refine
+
+        Uf_hi = self.fermion_links_hi(theta)
+
+        def apply_hi(v):
+            return dops.dirac_normal(self.geom, Uf_hi, v, m0)
+
+        res = cg_refine(
+            apply_hi, inner, b, self._dot_re,
+            tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer, x0=x0)
+        return res, None
+
+    def _solve_full(self, theta: jax.Array, Uf: jax.Array, b: jax.Array,
+                    x0=None) -> CGResult:
+        """(D D^+)^{-1} b for the full (non-even-odd) operator, with the same
+        precision dispatch as _solve_eo."""
+        if self._refine_active():
+            return self._solve_full_refined(theta, Uf, b, x0=x0)[0]
         return cg_solve(
-            apply_lo, b, self._dot_re, x0=x0,
+            lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0),
+            b, self._dot_re, x0=x0,
             tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
             sync_pred=self.geom.sync_any,
         )
@@ -366,15 +388,25 @@ class SchwingerModel:
         Under cg.refine the solution is f64-accurate, and the action dot
         runs in f64 (conj(phi)*x promotes), so S_f enters the Metropolis
         dH at the reference's solver precision."""
-        if self.hmc.even_odd and self._refine_active() \
-                and self._refine_impl() == "dfloat":
+        if self._refine_active() and self._refine_impl() == "dfloat":
             # df impl: the solution's f64-grade accuracy lives in the df
             # pair; dot it with phi in df so S_f enters dH at solve grade
             from schwingermodel_tpu.solvers.dfloat import df_dot_re
 
-            res, x_df = self._solve_eo_refined(
-                theta, self.eo_ops(theta), phi, x0=x0)
+            if self.hmc.even_odd:
+                res, x_df = self._solve_eo_refined(
+                    theta, self.eo_ops(theta), phi, x0=x0)
+            else:
+                Uf = dops.fermion_links(self.links(theta),
+                                        self.sign_mask(theta))
+                res, x_df = self._solve_full_refined(theta, Uf, phi, x0=x0)
             s_hi, s_lo = df_dot_re(phi, x_df)
+            if self.geom.is_sharded:
+                # df_dot_re sums only this shard's sites; reduce hi/lo
+                # across the lattice mesh (as kinetic/gauge_action_df do)
+                # so S_f -- hence dH and accept/reject -- is global
+                s_hi = self.geom.gsum_all(s_hi)
+                s_lo = self.geom.gsum_all(s_lo)
             return s_hi + s_lo, stats.merge(res)
         if self.hmc.even_odd:
             res = self._solve_eo(theta, self.eo_ops(theta), phi, x0=x0)

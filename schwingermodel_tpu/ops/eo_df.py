@@ -164,6 +164,23 @@ def _scale_f(z: DFComplex, s: float) -> DFComplex:
     return DFComplex(df_mul(z.re, cd), df_mul(z.im, cd))
 
 
+def folded_links_df(geom: Geometry, theta, global_Nt: int) -> DFComplex:
+    """df fermion links [..., 2, Nx, Nt]: exp(i theta) with the antiperiodic
+    time-boundary sign folded into mu=0 (the df analog of
+    models.SchwingerModel.fermion_links_hi; sign flip is exact in df)."""
+    *_, Nx, Nt = theta.shape
+    U = dfc_expi(theta)                       # df links (fold-safe angles)
+    sign = dops.make_sign_mask(geom, Nx, Nt, global_Nt, jnp.float32)
+    neg = sign < 0
+    mask = jnp.stack([neg, jnp.zeros_like(neg)], axis=-3)
+    return DFComplex(
+        (jnp.where(mask, -U.re[0], U.re[0]),
+         jnp.where(mask, -U.re[1], U.re[1])),
+        (jnp.where(mask, -U.im[0], U.im[0]),
+         jnp.where(mask, -U.im[1], U.im[1])),
+    )
+
+
 class EOOperatorsDF:
     """Dhat / Dhat^+ / normal in df arithmetic for one configuration.
 
@@ -176,17 +193,7 @@ class EOOperatorsDF:
     def __init__(self, geom: Geometry, theta, m0: float, global_Nt: int):
         *_, Nx, Nt = theta.shape
         self.geom = geom
-        U = dfc_expi(theta)                       # df links
-        # antiperiodic time boundary: exact sign flip on mu=0, last slice
-        sign = dops.make_sign_mask(geom, Nx, Nt, global_Nt, jnp.float32)
-        neg = sign < 0
-        mask = jnp.stack([neg, jnp.zeros_like(neg)], axis=-3)
-        Uf = DFComplex(
-            (jnp.where(mask, -U.re[0], U.re[0]),
-             jnp.where(mask, -U.re[1], U.re[1])),
-            (jnp.where(mask, -U.im[0], U.im[0]),
-             jnp.where(mask, -U.im[1], U.im[1])),
-        )
+        Uf = folded_links_df(geom, theta, global_Nt)
         pk = lambda p, parity: eo.pack(geom, p, parity)  # noqa: E731
         self.Ue = DFComplex(
             (pk(Uf.re[0], eo.EVEN), pk(Uf.re[1], eo.EVEN)),
@@ -219,6 +226,109 @@ class EOOperatorsDF:
         return dfc_to_c(self.normal(dfc_from_c(v_c64)))
 
 
+def dirac_df(geom: Geometry, Uf: DFComplex, phi: DFComplex, m0: float,
+             ) -> DFComplex:
+    """D phi on the FULL lattice in df arithmetic (ops/dirac.dirac term by
+    term; reference D_phi, src/dirac_operator.cpp:24-45, doc Eq (34))."""
+    u0, u1 = _idx(Uf, 0), _idx(Uf, 1)
+    p0, p1 = _idx(phi, 0), _idx(phi, 1)
+    p_pt = _shift(geom, phi, T_AXIS, +1)
+    p0_pt, p1_pt = _idx(p_pt, 0), _idx(p_pt, 1)
+    p_px = _shift(geom, phi, X_AXIS, +1)
+    p0_px, p1_px = _idx(p_px, 0), _idx(p_px, 1)
+    bt = _shift(geom, dfc_mulc(u0, dfc_add(p0, p1)), T_AXIS, -1)
+    bx = _shift(
+        geom,
+        _stack2(dfc_mulc(u1, dfc_sub(p0, dfc_muli(p1))),
+                dfc_mulc(u1, dfc_add(dfc_muli(p0), p1))),
+        X_AXIS, -1)
+    bx0, bx1 = _idx(bx, 0), _idx(bx, 1)
+
+    h0 = dfc_add(
+        dfc_add(_mul(u0, dfc_sub(p0_pt, p1_pt)),
+                _mul(u1, dfc_add(p0_px, dfc_muli(p1_px)))),
+        dfc_add(bt, bx0))
+    h1 = dfc_add(
+        dfc_add(_mul(u0, dfc_sub(p1_pt, p0_pt)),
+                _mul(u1, dfc_sub(p1_px, dfc_muli(p0_px)))),
+        dfc_add(bt, bx1))
+    m = float(m0) + 2.0
+    d0 = dfc_sub(_scale_f(p0, m), dfc_scale_half(h0))
+    d1 = dfc_sub(_scale_f(p1, m), dfc_scale_half(h1))
+    return _stack2(d0, d1)
+
+
+def dirac_dagger_df(geom: Geometry, Uf: DFComplex, phi: DFComplex, m0: float,
+                    ) -> DFComplex:
+    """D^+ phi on the FULL lattice in df (ops/dirac.dirac_dagger; reference
+    D_dagger_phi, src/dirac_operator.cpp:247-269, doc Eqs (35)-(36))."""
+    u0, u1 = _idx(Uf, 0), _idx(Uf, 1)
+    p0, p1 = _idx(phi, 0), _idx(phi, 1)
+    p_pt = _shift(geom, phi, T_AXIS, +1)
+    p0_pt, p1_pt = _idx(p_pt, 0), _idx(p_pt, 1)
+    p_px = _shift(geom, phi, X_AXIS, +1)
+    p0_px, p1_px = _idx(p_px, 0), _idx(p_px, 1)
+    bt0 = _shift(geom, dfc_mulc(u0, dfc_sub(p0, p1)), T_AXIS, -1)
+    bt1 = dfc_neg_local(bt0)                  # exact: (p1-p0) = -(p0-p1)
+    bx = _shift(
+        geom,
+        _stack2(dfc_mulc(u1, dfc_add(p0, dfc_muli(p1))),
+                dfc_mulc(u1, dfc_sub(p1, dfc_muli(p0)))),
+        X_AXIS, -1)
+    bx0, bx1 = _idx(bx, 0), _idx(bx, 1)
+
+    fwd_t = _mul(u0, dfc_add(p0_pt, p1_pt))
+    h0 = dfc_add(dfc_add(bt0, bx0),
+                 dfc_add(fwd_t, _mul(u1, dfc_sub(p0_px, dfc_muli(p1_px)))))
+    h1 = dfc_add(dfc_add(bt1, bx1),
+                 dfc_add(fwd_t, _mul(u1, dfc_add(p1_px, dfc_muli(p0_px)))))
+    m = float(m0) + 2.0
+    d0 = dfc_sub(_scale_f(p0, m), dfc_scale_half(h0))
+    d1 = dfc_sub(_scale_f(p1, m), dfc_scale_half(h1))
+    return _stack2(d0, d1)
+
+
+def dfc_neg_local(a: DFComplex) -> DFComplex:
+    return DFComplex((-a.re[0], -a.re[1]), (-a.im[0], -a.im[1]))
+
+
+def dfc_scale_half(z: DFComplex) -> DFComplex:
+    """z * 0.5 -- exact in f32, no df product needed."""
+    h = jnp.float32(0.5)
+    return DFComplex((z.re[0] * h, z.re[1] * h), (z.im[0] * h, z.im[1] * h))
+
+
+class FullOperatorsDF:
+    """D / D^+ / D D^+ on the full lattice in df arithmetic.
+
+    The f64-grade true-residual evaluator for iterative refinement when
+    even-odd preconditioning is OFF (--no-even-odd, or odd lattice extents
+    where the CLI auto-disables it) -- the full-D twin of EOOperatorsDF, so
+    the dfloat refinement contract holds on every solver path, not only the
+    packed one.
+    """
+
+    def __init__(self, geom: Geometry, theta, m0: float, global_Nt: int):
+        self.geom = geom
+        self.Uf = folded_links_df(geom, theta, global_Nt)
+        self.m0 = float(m0)
+
+    def d(self, v: DFComplex) -> DFComplex:
+        return dirac_df(self.geom, self.Uf, v, self.m0)
+
+    def d_dag(self, v: DFComplex) -> DFComplex:
+        return dirac_dagger_df(self.geom, self.Uf, v, self.m0)
+
+    def normal(self, v: DFComplex) -> DFComplex:
+        return self.d(self.d_dag(v))
+
+    def normal_c(self, v_c64):
+        """complex64 in -> complex64 out (df internally); for tests."""
+        from schwingermodel_tpu.solvers.dfloat import dfc_from_c
+
+        return dfc_to_c(self.normal(dfc_from_c(v_c64)))
+
+
 def gauge_action_df(geom: Geometry, theta, beta: float):
     """Plaquette gauge action in df: beta * sum(1 - cos(dtheta_P)).
 
@@ -238,19 +348,13 @@ def gauge_action_df(geom: Geometry, theta, beta: float):
     s2, e2 = two_sum(s, -t0_p1)
     s3, e3 = two_sum(s2, -t1)
     ang = (s3, e + e2 + e3)
-    # reduce |angle| <= 4 pi into df_sincos's valid range exactly: ang is a
-    # sum of four angles each in [-pi, pi]; subtract k*2pi with the same
-    # three-piece pi reduction df_sincos applies (it handles |y| <= pi/4
-    # after its own quadrant step, so fold ang to [-pi, pi] first)
-    import numpy as np
+    # fold ang into df_sincos's valid range with the df-exact Cody-Waite
+    # 2pi reduction: ang is a sum of four angles that may each carry
+    # mid-trajectory MD drift beyond [-pi, pi] (this is the Hamiltonian of
+    # the PROPOSED config), so no small-|k| assumption is safe here
+    from schwingermodel_tpu.solvers.dfloat import df_fold_2pi
 
-    two_pi_hi = jnp.float32(np.float32(2 * np.pi))
-    two_pi_lo = jnp.float32(np.float32(2 * np.pi - float(np.float32(2 * np.pi))))
-    k = jnp.round(ang[0] * jnp.float32(1.0 / (2 * np.pi)))
-    a1, f1 = two_sum(ang[0], -k * two_pi_hi)
-    lo = ang[1] + f1 - k * two_pi_lo
-    a1, lo = two_sum(a1, lo)
-    _, cos_a = df_sincos(a1, lo)
+    _, cos_a = df_sincos(*df_fold_2pi(ang[0], ang[1]))
     # sum(1 - cos) with a df pairwise tree: S_g reaches the Metropolis at
     # ~1e-7 relative (f32 collapse of the df total) instead of the ~1e-5
     # relative of a plain f32 pairwise sum at 64x64
@@ -272,4 +376,6 @@ def gauge_action_df(geom: Geometry, theta, beta: float):
     return (s_hi + s_lo) * beta
 
 
-__all__ = ["EOOperatorsDF", "hop_df", "hop_dag_df", "gauge_action_df"]
+__all__ = ["EOOperatorsDF", "FullOperatorsDF", "folded_links_df",
+           "dirac_df", "dirac_dagger_df", "hop_df", "hop_dag_df",
+           "gauge_action_df"]

@@ -290,9 +290,55 @@ def df_sincos(theta: jax.Array, theta_lo: jax.Array | None = None,
     return sin_t, cos_t
 
 
+# Cody-Waite split of 2*pi into three 12-significand-bit f32 pieces plus an
+# f32 tail: k * piece is an exact f32 product for |k| <= 2^11, so the fold
+# below is df-exact (~2^-46 abs) for |theta| up to ~1.2e4 -- far beyond any
+# MD drift -- instead of the |theta| <= 5pi/4 bound of the bare quadrant
+# reduction in df_sincos (the hazard flagged for mid-trajectory angles).
+def _cw_pieces_2pi():
+    rem = 2.0 * math.pi
+    out = []
+    for _ in range(3):
+        f = np.float32(rem)
+        p = (f.view(np.uint32) & np.uint32(0xFFFFF000)).view(np.float32)
+        out.append(float(p))
+        rem -= float(p)
+    out.append(float(np.float32(rem)))
+    return out
+
+
+_TWO_PI_PIECES = _cw_pieces_2pi()
+
+
+def df_fold_2pi(theta: jax.Array, theta_lo: jax.Array | None = None) -> tuple:
+    """theta - round(theta / 2pi) * 2pi as a df pair in [-pi, pi].
+
+    The fold is exact to ~2^-46 absolute for |theta| < 2^11 * 2pi (each
+    k * piece product is exact; the captured two_sum errors carry the rest).
+    Identity (bitwise) for |theta| <= pi, where k == 0. Optional theta_lo
+    threads a df input angle through the fold.
+    """
+    k = jnp.round(theta * _c(1.0 / (2.0 * math.pi)))
+    s, e = two_sum(theta, -k * _c(_TWO_PI_PIECES[0]))
+    lo = e
+    for p in _TWO_PI_PIECES[1:3]:
+        s, e = two_sum(s, -k * _c(p))
+        lo = lo + e
+    lo = lo - k * _c(_TWO_PI_PIECES[3])
+    if theta_lo is not None:
+        lo = lo + theta_lo
+    return fast_two_sum(s, lo)
+
+
 def dfc_expi(theta: jax.Array) -> DFComplex:
-    """exp(i theta) as a df complex, from an f32 angle array."""
-    s, c = df_sincos(theta)
+    """exp(i theta) as a df complex, from an f32 angle array.
+
+    Valid for ANY angle magnitude reachable by MD drift: theta is folded to
+    [-pi, pi] with the df-exact 2pi reduction before the sin/cos quadrant
+    step (mid-trajectory theta routinely exceeds df_sincos's bare |theta|
+    <= 5pi/4 validity bound; the sampler folds only between trajectories).
+    """
+    s, c = df_sincos(*df_fold_2pi(theta))
     return DFComplex(c, s)
 
 

@@ -101,6 +101,144 @@ def test_df_eo_normal_matches_f64_operator():
     assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max() + 1e-13
 
 
+def test_df_fold_2pi_exact_large_angles():
+    """The Cody-Waite fold is df-exact far beyond any MD drift."""
+    rng = np.random.default_rng(40)
+    th = jnp.asarray(rng.uniform(-100.0, 100.0, 8192), jnp.float32)
+    s, lo = jit0(D.df_fold_2pi)(th)
+    th64 = np.asarray(th, np.float64)
+    k = np.round(th64 / (2 * np.pi))
+    exact = th64 - k * (2 * np.pi)
+    assert np.abs(_val((s, lo)) - exact).max() < 2e-13
+    assert np.abs(np.asarray(s)).max() <= np.pi * (1 + 1e-6)
+    # bitwise identity where no fold is needed (|theta| <= pi -> k == 0)
+    thb = jnp.asarray(rng.uniform(-np.pi, np.pi, 1024), jnp.float32)
+    sb, lob = jit0(D.df_fold_2pi)(thb)
+    assert np.array_equal(np.asarray(sb), np.asarray(thb))
+    assert np.abs(np.asarray(lob)).max() == 0.0
+
+
+def test_df_eo_normal_drifted_theta_matches_f64():
+    """EOOperatorsDF with mid-trajectory MD drift (|theta| well beyond the
+    bare quadrant-reduction bound ~5pi/4) still equals the complex128
+    operator -- the link angles are folded df-exactly (ADVICE r2 item 3)."""
+    rng = np.random.default_rng(41)
+    model = _model32()
+    theta = jnp.asarray(rng.uniform(-4 * np.pi, 4 * np.pi, (2, 8, 8)),
+                        jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 8, 4))
+                    + 1j * rng.standard_normal((2, 8, 4)), jnp.complex64)
+    ops_hi = eo.EOOperators(model.geom, model.fermion_links_hi(theta), 0.1)
+    ref = np.asarray(ops_hi.normal(v.astype(jnp.complex128)))
+    dfops = eo_df.EOOperatorsDF(model.geom, theta, 0.1, 8)
+    got = _cval(jit0(dfops.normal)(D.dfc_from_c(v)))
+    assert np.abs(got - ref).max() < 1e-11 * np.abs(ref).max() + 1e-12
+
+
+def test_df_full_normal_matches_f64_operator():
+    """D D^+ (full lattice) in df equals the complex128 operator, incl.
+    drifted angles -- the non-even-odd refinement path's evaluator."""
+    from schwingermodel_tpu.ops import dirac as dops
+
+    rng = np.random.default_rng(42)
+    model = _model32()
+    theta = jnp.asarray(rng.uniform(-4 * np.pi, 4 * np.pi, (2, 8, 8)),
+                        jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 8, 8))
+                    + 1j * rng.standard_normal((2, 8, 8)), jnp.complex64)
+    Uf_hi = model.fermion_links_hi(theta)
+    ref = np.asarray(dops.dirac_normal(
+        model.geom, Uf_hi, v.astype(jnp.complex128), 0.1))
+    dfops = eo_df.FullOperatorsDF(model.geom, theta, 0.1, 8)
+    got = _cval(jit0(dfops.normal)(D.dfc_from_c(v)))
+    assert np.abs(got - ref).max() < 1e-11 * np.abs(ref).max() + 1e-12
+
+
+def test_refine_df_full_meets_1e10_contract():
+    """Full-D (no even-odd) dfloat refinement: the returned solution's TRUE
+    complex128 residual meets the reference's 1e-10 contract. Before round 3
+    this path silently used the x64 evaluator (broken without x64 --
+    ADVICE r2 item 2); it now runs FullOperatorsDF."""
+    from schwingermodel_tpu.ops import dirac as dops
+
+    rng = np.random.default_rng(43)
+    model = _model32()
+    model = dataclasses.replace(
+        model, hmc=dataclasses.replace(model.hmc, even_odd=False))
+    theta = _thermalized_theta(model)
+    Uf = model.fermion_links(theta)
+    v = jnp.asarray(rng.standard_normal((2, 8, 8))
+                    + 1j * rng.standard_normal((2, 8, 8)), jnp.complex64)
+    b = model.D(theta, v)
+
+    res, x_df = jit0(partial(model._solve_full_refined, theta, Uf))(b)
+    assert bool(res.converged)
+    x128 = jnp.asarray(_cval(x_df))
+    Uf_hi = model.fermion_links_hi(theta)
+    r = np.asarray(dops.dirac_normal(model.geom, Uf_hi, x128, model.hmc.m0)
+                   ) - np.asarray(b, np.complex128)
+    rel = np.linalg.norm(r.ravel()) / np.linalg.norm(
+        np.asarray(b, np.complex128).ravel())
+    assert rel < 1e-10, rel
+
+
+def test_refine_df_sharded_fermion_action_matches_single():
+    """S_f (and hence dH) under a 2x2 lattice mesh with dfloat refinement
+    equals the single-device value: the df action dot must be psum'd across
+    shards (ADVICE r2 item 1 -- shard-local S_f broke Metropolis)."""
+    from functools import partial as _p
+
+    from jax.sharding import PartitionSpec as P
+
+    from schwingermodel_tpu.models.schwinger import SolveStats
+    from schwingermodel_tpu.parallel.mesh import lattice_mesh
+    from schwingermodel_tpu.parallel.sharded import sharded_model
+
+    rng = np.random.default_rng(44)
+    model = _model32()
+    theta = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 8, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 8, 4))
+                    + 1j * rng.standard_normal((2, 8, 4)), jnp.complex64)
+
+    def sf(m, th, v):
+        phi = m.eo_ops(th).dhat(v)
+        s, stats = m.fermion_action(th, phi, SolveStats.zero())
+        return s, stats.all_converged
+
+    s1, c1 = jit0(_p(sf, model))(theta, v)
+
+    mesh = lattice_mesh((2, 2))
+    inner = sharded_model(model)
+    sh = jax.shard_map(
+        _p(sf, inner), mesh=mesh,
+        in_specs=(P(None, "x", "t"), P(None, "x", "t")),
+        out_specs=(P(), P()),
+        check_vma=False)
+    s2, c2 = jit0(sh)(theta, v)
+
+    assert bool(c1) and bool(c2)
+    assert abs(float(s2) - float(s1)) < 1e-5 * abs(float(s1)) + 1e-6, (
+        float(s1), float(s2))
+
+
+def test_gauge_action_df_drifted_matches_f64():
+    """gauge_action_df on MD-drifted angles (plaquette angle |k| > 2) still
+    matches f64 -- the robust 2pi fold covers the Hamiltonian-of-proposal
+    case where per-link drift stacks four-fold."""
+    import schwingermodel_tpu.ops.gauge as gops
+
+    rng = np.random.default_rng(45)
+    model = _model32(Nx=16, Nt=16)
+    theta = jnp.asarray(rng.uniform(-4 * np.pi, 4 * np.pi, (2, 16, 16)),
+                        jnp.float32)
+    S64 = float(gops.gauge_action(
+        model.geom, gops.links(theta.astype(jnp.float64), jnp.complex128),
+        2.7))
+    Sdf = float(jit0(
+        lambda t: eo_df.gauge_action_df(model.geom, t, 2.7))(theta))
+    assert abs(Sdf - S64) < 1e-6 * abs(S64)
+
+
 def test_gauge_action_df_matches_f64():
     import schwingermodel_tpu.ops.gauge as gops
 
