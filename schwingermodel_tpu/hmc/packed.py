@@ -1,0 +1,213 @@
+"""HMC trajectory on the lane-packed layout: the fused-kernel fast path.
+
+Same Metropolis semantics as hmc/sampler.py (reference HMC::HMC_Update,
+src/hmc.cpp:151-181) but the state never leaves the lane-packed plane
+layout of ops/pallas_traj.py: theta and pi live as even/odd checkerboard
+f32 planes [2, Nx, N] (N = C*Nth chain-major lanes), every MD force step is
+ONE fused Pallas kernel (links + CG + both forces), and the integrator
+axpys run at full lane utilization. C chains advance in lockstep -- the
+whole-trajectory analog of the lane-packed CG of ops/pallas_eo.py.
+
+Noise is drawn per chain exactly as the vmapped sampler draws it
+(sampler.draw_noise semantics), then packed -- so this path equals the
+unpacked vmapped trajectory in distribution, and tests can inject identical
+noise fields into both and compare dH directly (tests/test_pallas_traj.py).
+
+Scope (asserted in packed_supported): even-odd mode, unsharded, f32,
+leapfrog/omelyan, static beta, loose (non-refined) solver contract. The
+refined 1e-10-contract path and sharded lattices keep hmc/sampler.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from schwingermodel_tpu.hmc.sampler import TrajectoryStats, draw_noise
+from schwingermodel_tpu.models.schwinger import SchwingerModel
+from schwingermodel_tpu.ops import pallas_traj as pt
+
+
+class PackedTheta(NamedTuple):
+    """Gauge state as packed angle planes."""
+    E: jax.Array    # f32 [2, Nx, N]
+    O: jax.Array    # f32 [2, Nx, N]
+
+
+def packed_supported(model: SchwingerModel) -> bool:
+    """True when the fused packed-trajectory path applies to this model."""
+    return (
+        model.hmc.even_odd
+        and not model.geom.is_sharded
+        and not model.hmc.quenched
+        and model.lattice.rdtype == jnp.float32
+        and not model.hmc.cg.refine
+        and model.hmc.integrator in ("leapfrog", "omelyan")
+    )
+
+
+def pack_theta(model: SchwingerModel, theta: jax.Array) -> PackedTheta:
+    """[C, 2, Nx, Nt] (or [2, Nx, Nt] for C=1) -> packed planes."""
+    if theta.ndim == 3:
+        theta = theta[None]
+    E, O = pt.pack_chains(model.geom, theta)
+    return PackedTheta(E=E, O=O)
+
+
+def unpack_theta(model: SchwingerModel, th: PackedTheta, C: int) -> jax.Array:
+    """Packed planes -> [C, 2, Nx, Nt] angles."""
+    return pt.unpack_chains(model.geom, th.E, th.O, C)
+
+
+def _n_chains(model: SchwingerModel, th: PackedTheta) -> int:
+    return th.E.shape[-1] // (model.lattice.Nt // 2)
+
+
+def trajectory_packed_given_noise(
+    model: SchwingerModel,
+    th: PackedTheta,
+    piE: jax.Array,
+    piO: jax.Array,
+    chi: jax.Array,
+    r: jax.Array,
+    dt=None,
+) -> Tuple[PackedTheta, TrajectoryStats]:
+    """Deterministic packed HMC update given pre-drawn noise.
+
+    piE/piO: packed momentum planes [2, Nx, N]; chi: complex [C, 2, Nx, Nth]
+    (the even-packed pseudofermion noise, exactly sampler.draw_noise's);
+    r: [C] Metropolis uniforms. Returns (theta', per-chain TrajectoryStats).
+    dt may be a traced scalar override (autotuning); beta is static.
+    """
+    assert packed_supported(model), "packed trajectory: unsupported config"
+    Nth = model.lattice.Nt // 2
+    C = _n_chains(model, th)
+    m0 = float(model.hmc.m0)
+    beta = float(model.hmc.beta)
+    tol = float(model.hmc.cg.tol)
+    max_iter = int(model.hmc.cg.max_iter)
+    interpret = jax.default_backend() != "tpu"
+    dt = model.hmc.step_size if dt is None else dt
+    forecast = model.hmc.cg_forecast
+
+    chi_p = pt.pack_even(chi)
+    phi_p = pt.dhat_packed(th.E, th.O, chi_p, m0, Nth)   # Phi = Dhat chi
+
+    # --- old Hamiltonian (sampler: exact S_f_old = |chi|^2) ---
+    kin_old = pt.kinetic_packed(piE, piO, C)
+    sg_old = pt.gauge_action_packed(th.E, th.O, beta, C, Nth)
+    sf_old = jnp.sum(
+        jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=(1, 2, 3))
+    H_old = kin_old + sg_old + sf_old
+
+    def force(thE, thO, x0_p, iters, conv):
+        res = pt.force_step_fused(
+            thE, thO, phi_p, x0_p, m0=m0, beta=beta, tol=tol,
+            max_iter=max_iter, Nth=Nth, interpret=interpret)
+        return (res.FE, res.FO, res.psi, iters + res.iters,
+                jnp.logical_and(conv, res.converged))
+
+    iters0 = jnp.zeros((C,), jnp.int32)
+    conv0 = jnp.ones((C,), bool)
+
+    # --- MD evolution (hmc/integrators.py structure, packed axpys) ---
+    thE, thO, piE_n, piO_n = th.E, th.O, piE, piO
+    if model.hmc.integrator == "leapfrog":
+        n_inner = model.hmc.md_steps - 2
+        thE = thE + (0.5 * dt) * piE_n
+        thO = thO + (0.5 * dt) * piO_n
+        FE, FO, psi, iters, conv = force(thE, thO, phi_p, iters0, conv0)
+
+        def body(carry, _):
+            thE, thO, piE, piO, FE, FO, psi, iters, conv = carry
+            piE = piE + dt * FE
+            piO = piO + dt * FO
+            thE = thE + dt * piE
+            thO = thO + dt * piO
+            FE, FO, psi, iters, conv = force(
+                thE, thO, psi if forecast else phi_p, iters, conv)
+            return (thE, thO, piE, piO, FE, FO, psi, iters, conv), None
+
+        if n_inner > 0:
+            (thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv), _ = lax.scan(
+                body, (thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv),
+                None, length=n_inner)
+        piE_n = piE_n + dt * FE
+        piO_n = piO_n + dt * FO
+        thE = thE + (0.5 * dt) * piE_n
+        thO = thO + (0.5 * dt) * piO_n
+    else:  # omelyan 2MN (integrators.omelyan structure)
+        from schwingermodel_tpu.hmc.integrators import LAMBDA_2MN as lam
+
+        n = model.hmc.md_steps
+        thE = thE + (lam * dt) * piE_n
+        thO = thO + (lam * dt) * piO_n
+        FE, FO, psi, iters, conv = force(thE, thO, phi_p, iters0, conv0)
+
+        def half_step(thE, thO, piE, piO, FE, FO, psi, iters, conv, merge):
+            piE = piE + (0.5 * dt) * FE
+            piO = piO + (0.5 * dt) * FO
+            thE = thE + ((1.0 - 2.0 * lam) * dt) * piE
+            thO = thO + ((1.0 - 2.0 * lam) * dt) * piO
+            FE, FO, psi, iters, conv = force(
+                thE, thO, psi if forecast else phi_p, iters, conv)
+            piE = piE + (0.5 * dt) * FE
+            piO = piO + (0.5 * dt) * FO
+            s = (2.0 if merge else 1.0) * lam * dt
+            thE = thE + s * piE
+            thO = thO + s * piO
+            if merge:
+                FE, FO, psi, iters, conv = force(
+                    thE, thO, psi if forecast else phi_p, iters, conv)
+            return thE, thO, piE, piO, FE, FO, psi, iters, conv
+
+        def body(carry, _):
+            out = half_step(*carry, True)
+            return out, None
+
+        carry = (thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv)
+        if n > 1:
+            carry, _ = lax.scan(body, carry, None, length=n - 1)
+        thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv = half_step(
+            *carry, False)
+
+    # --- new Hamiltonian ---
+    sol = pt.solve_fused(
+        thE, thO, phi_p, psi if forecast else phi_p, m0=m0, tol=tol,
+        max_iter=max_iter, Nth=Nth, interpret=interpret)
+    iters = iters + sol.iters
+    conv = jnp.logical_and(conv, sol.converged)
+    sf_new = pt.dot_re_packed(phi_p, sol.x, C)
+    H_new = (pt.kinetic_packed(piE_n, piO_n, C)
+             + pt.gauge_action_packed(thE, thO, beta, C, Nth) + sf_new)
+
+    dH = H_new - H_old
+    accept = r <= jnp.exp(-dH)                      # hmc.cpp:171
+    acc_lane = jnp.repeat(accept, Nth)[None, :]     # [1, N] block mask
+    thE_next = pt.fold_packed(jnp.where(acc_lane, thE, th.E))
+    thO_next = pt.fold_packed(jnp.where(acc_lane, thO, th.O))
+
+    return PackedTheta(E=thE_next, O=thO_next), TrajectoryStats(
+        accepted=accept,
+        delta_H=dH,
+        exp_mdH=jnp.exp(-dH),
+        cg_iters=iters,
+        cg_converged=conv,
+    )
+
+
+def hmc_trajectory_packed(model: SchwingerModel, th: PackedTheta,
+                          keys: jax.Array, dt=None,
+                          ) -> Tuple[PackedTheta, TrajectoryStats]:
+    """Packed trajectory from per-chain keys [C] (sampler.draw_noise per
+    chain, then packed -- statistically identical to the vmapped sampler)."""
+    C = _n_chains(model, th)
+    Nx, Nt = model.lattice.Nx, model.lattice.Nt
+    del C
+    pi, chi, r = jax.vmap(
+        lambda k: draw_noise(model, (2, Nx, Nt), k))(keys)
+    piE, piO = pt.pack_chains(model.geom, pi)
+    return trajectory_packed_given_noise(model, th, piE, piO, chi, r, dt)
