@@ -1,43 +1,40 @@
 """Headline benchmark: HMC trajectories/second at 64x64 (reference demo config).
 
 Prints one JSON line per metric; the LAST line is the headline: aggregate
-trajectories/s/chip with the lane-packed multi-chain kernel (chains are the
-TPU-native way to fill the vector unit at this lattice size -- a single
-64x64 chain's packed planes use 32 of 128 lanes; see ops/pallas_eo.py).
-The single-chain number and the sustained CG GFLOP/s are the lines before.
+trajectories/s/chip AT THE SHIPPED SOLVER CONTRACT (cg tol 1e-10 measured
+on a double-precision-grade true residual -- the reference's own contract,
+src/main.cpp:26-27 / src/conjugate_gradient.cpp:45 -- met on this f32-only
+TPU by double-float iterative refinement, solvers/dfloat.py; the CLI
+defaults to exactly this configuration, cli.py:174-197). The loose-mode
+(tol 1e-6, refinement off, --no-cg-refine) numbers are printed alongside,
+each labeled by its "contract" field.
+
+Loose-mode trajectories run on the lane-packed fused path (hmc/packed.py):
+the state lives in checkerboard plane layout and each MD force step -- link
+construction, the whole CG solve, fermion + staple forces -- is ONE Pallas
+kernel (ops/pallas_traj.py). Refined-mode trajectories run the standard
+vmapped path whose inner solves use the lane-packed fused CG kernel and
+whose true residuals run in double-float (the CLI's default code path).
 
 Baseline: the C++/MPI reference (Fabian2598/SchwingerModel) publishes no
-performance numbers (BASELINE.md), so the anchor is our own measurement of the
-reference compiled -O3 and run single-rank on this machine's CPU at the same
-config (64x64, beta=4, m0=0.2, 10 MD steps, trajectory length 0.1 -- the
-repo's demo config, run.sh:4-17): CPP_BASELINE_TRAJ_PER_S below.
-vs_baseline = our traj/s divided by that.
+performance numbers (BASELINE.md), so the anchor is our measurement of the
+reference compiled -O3, single rank, on this machine's CPU at the same
+config -- 64x64, beta=4, m0=0.2, 10 MD steps, tau=0.1 (run.sh:4-17) at its
+shipped tol 1e-10 in f64: CPP_BASELINE_TRAJ_PER_S below. vs_baseline = our
+traj/s divided by that. The refined-contract rows are the apples-to-apples
+comparison; the loose rows are labeled as such.
 
-Methodology notes:
-  - The 500 benchmark trajectories run as ONE device program (lax.scan), the
-    same shape the production runner uses, so host dispatch is out of the
-    measurement.
-  - Timing is bounded by a host *readback* of the outputs, not
-    block_until_ready: on tunneled backends block_until_ready can return
-    before execution finishes, which inflates throughput by orders of
-    magnitude. Readback is the only trustworthy fence.
-  - even_odd=True: the Schur-complement preconditioned action (ops/eo.py)
-    samples exactly the same gauge distribution as the reference's full-D
-    pseudofermions at ~2.4x fewer CG iterations (see tests/test_eo.py).
-  - cg_forecast=True (default): chronological forecasting starts each force
-    CG from the previous MD step's solution, saving a further ~28% of CG
-    iterations at this config (tests/test_tuning_scan.py).
-  - fused_cg auto-on (TPU backend): every (Dhat Dhat^+) solve runs as ONE
-    Pallas kernel -- stencil, dots, and the convergence while-loop with all
-    vectors pinned in VMEM (ops/pallas_eo.py) -- measured ~0.6 us/CG-iter
-    vs ~10 us/iter for the XLA-level solver at this lattice size.
-
-Precision note: the reference runs f64 with CG tol 1e-10; on TPU the gauge
-field/solver run f32 with CG tol 1e-6 (f32 residual floor). The angle
-representation keeps links exactly unitary regardless, and detailed-balance
-diagnostics (<exp(-dH)> = 1) hold at f32 -- see tests and the verify skill.
+Methodology:
+  - Timed trajectories run as ONE device program (lax.scan); a host
+    readback of the outputs is the timing fence (on tunneled backends
+    block_until_ready can return early).
+  - even_odd=True everywhere: the Schur-preconditioned action samples the
+    same gauge distribution as the reference's full-D pseudofermions
+    (ops/eo.py) at ~2.4x fewer CG iterations.
+  - Chronological forecasting on (second order on the packed path).
 """
 
+import functools
 import json
 import time
 
@@ -49,6 +46,7 @@ from schwingermodel_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from schwingermodel_tpu.config import CGParams, HMCParams, LatticeParams
+from schwingermodel_tpu.hmc import packed as hp
 from schwingermodel_tpu.hmc.sampler import hmc_trajectory
 from schwingermodel_tpu.models.schwinger import SchwingerModel
 from schwingermodel_tpu.utils import prng
@@ -60,101 +58,129 @@ from schwingermodel_tpu.utils import prng
 CPP_BASELINE_TRAJ_PER_S = 1.785
 
 BLOCK = 100      # thermalization trajectories (one device program)
-N_TIMED = 500    # timed trajectories, ONE device program + one readback
-                 # fence (the tunnel costs ~100 ms per unpipelined dispatch,
-                 # so per-block host loops would measure the tunnel, not
-                 # the chip)
-N_CHAINS = 32    # lane-packed chains for the aggregate number (32*32 = 1024
-                 # lanes -> 8 full vector tiles; ~19.6 MB scoped VMEM with the
-                 # raised 32 MB limit -- measured 1.6x better than C=16)
-N_TIMED_MC = 200
+N_CHAINS = 32    # lane-packed chains (32*32 = 1024 lanes = 8 vector tiles)
+
+
+def _models():
+    lat = LatticeParams(Nx=64, Nt=64, real_dtype="float32")
+    base = dict(beta=4.0, m0=0.2, md_steps=10, trajectory_length=0.1,
+                even_odd=True)
+    loose = SchwingerModel(lattice=lat, hmc=HMCParams(
+        **base, cg=CGParams(tol=1e-6, max_iter=2000)))
+    refined = SchwingerModel(lattice=lat, hmc=HMCParams(
+        **base, cg=CGParams(tol=1e-10, max_iter=2000, refine=True,
+                            refine_impl="auto")))
+    return lat, loose, refined
+
+
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    row = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    row.update(extra)
+    print(json.dumps(row), flush=True)
+
+
+def run_packed(model, C, n_therm, n_timed, seed=0):
+    """Packed-path throughput: returns (traj/s, acc, iters/traj)."""
+    key = prng.root_key(seed)
+    thetas = jax.random.uniform(
+        jax.random.fold_in(key, 7), (C, 2, 64, 64),
+        minval=-jnp.pi, maxval=jnp.pi, dtype=jnp.float32)
+    th = hp.pack_theta(model, thetas)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(th, k0, n):
+        def body(carry, i):
+            th = carry
+            keys = jax.vmap(lambda c: jax.random.fold_in(
+                prng.trajectory_key(k0, i), c))(jnp.arange(C))
+            th, st = hp.hmc_trajectory_packed(model, th, keys)
+            return th, (jnp.sum(st.accepted), jnp.sum(st.cg_iters))
+        th, (acc, it) = jax.lax.scan(body, th, jnp.arange(n))
+        return th, jnp.sum(acc), jnp.sum(it)
+
+    th, a, it = run(th, key, n_therm)
+    float(a)                                    # readback fence
+    th2, a, it = run(th, jax.random.fold_in(key, 1), n_timed)
+    float(a)                                    # compile the timed program
+    t0 = time.perf_counter()
+    th2, a, it = run(th, jax.random.fold_in(key, 2), n_timed)
+    acc = float(a); iters = float(it)           # readback fence
+    dt = time.perf_counter() - t0
+    return n_timed * C / dt, acc / (n_timed * C), iters / (n_timed * C)
+
+
+def run_vmapped(model, C, n_therm, n_timed, seed=0):
+    """Standard-path throughput (the CLI's refined code path)."""
+    key = prng.root_key(seed)
+    shape = (C, 2, 64, 64) if C > 1 else (2, 64, 64)
+    thetas = jax.random.uniform(
+        jax.random.fold_in(key, 7), shape,
+        minval=-jnp.pi, maxval=jnp.pi, dtype=jnp.float32)
+    traj = (hmc_trajectory if C == 1 else
+            jax.vmap(lambda th, k: hmc_trajectory(model, th, k)))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(theta, k0, n):
+        keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(n))
+        if C > 1:
+            keys = jax.vmap(lambda k: jax.vmap(
+                lambda c: jax.random.fold_in(k, c))(jnp.arange(C)))(keys)
+
+        def body(th, k):
+            if C == 1:
+                th, st = hmc_trajectory(model, th, k)
+            else:
+                th, st = traj(th, k)
+            return th, (jnp.sum(st.accepted), jnp.sum(st.cg_iters))
+        th, (acc, it) = jax.lax.scan(body, theta, keys)
+        return th, jnp.sum(acc), jnp.sum(it)
+
+    th, a, it = run(thetas, key, n_therm)
+    float(a)
+    th2, a, it = run(th, jax.random.fold_in(key, 1), n_timed)
+    float(a)
+    t0 = time.perf_counter()
+    th2, a, it = run(th, jax.random.fold_in(key, 2), n_timed)
+    acc = float(a); iters = float(it)
+    dt = time.perf_counter() - t0
+    return n_timed * C / dt, acc / (n_timed * C), iters / (n_timed * C), dt
 
 
 def main():
-    lat = LatticeParams(Nx=64, Nt=64, real_dtype="float32")
-    hmc = HMCParams(
-        beta=4.0, m0=0.2, md_steps=10, trajectory_length=0.1,
-        cg=CGParams(tol=1e-6, max_iter=2000), even_odd=True,
-    )
-    model = SchwingerModel(lattice=lat, hmc=hmc)
-
-    def make_run(n, n_chains=1):
-        traj = hmc_trajectory if n_chains == 1 else jax.vmap(
-            lambda th, k: hmc_trajectory(model, th, k), in_axes=(0, 0))
-
-        @jax.jit
-        def run(theta, k0):
-            keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(n))
-            if n_chains > 1:
-                keys = jax.vmap(
-                    lambda k: jax.vmap(
-                        lambda c: jax.random.fold_in(k, c))(jnp.arange(n_chains))
-                )(keys)
-
-            def body(th, k):
-                if n_chains == 1:
-                    th, st = hmc_trajectory(model, th, k)
-                else:
-                    th, st = traj(th, k)
-                return th, (jnp.sum(st.accepted), jnp.sum(st.cg_iters))
-            th, (acc, it) = jax.lax.scan(body, theta, keys)
-            return th, jnp.sum(acc), jnp.sum(it)
-        return run
-
-    key = prng.root_key(0)
-    theta = jax.random.uniform(
-        key, (2, 64, 64), minval=-jnp.pi, maxval=jnp.pi, dtype=lat.rdtype
-    )
-    theta, a, _ = make_run(BLOCK)(theta, key)  # compile + thermalize
-    float(a)                                   # readback fence
-
-    run_timed = make_run(N_TIMED)
-    theta2, a, _ = run_timed(theta, jax.random.fold_in(key, 1))  # compile
-    float(a)
-    t0 = time.perf_counter()
-    theta2, a, _ = run_timed(theta, jax.random.fold_in(key, 2))
-    assert float(a) >= 0                       # readback fence
-    dt = time.perf_counter() - t0
-
-    traj_per_s = N_TIMED / dt
-    print(json.dumps({
-        "metric": "hmc_traj_per_s_64x64",
-        "value": round(traj_per_s, 3),
-        "unit": "traj/s",
-        "vs_baseline": round(traj_per_s / CPP_BASELINE_TRAJ_PER_S, 2),
-    }), flush=True)
-
-    # ---- aggregate: N_CHAINS lane-packed chains on the one chip ----
     from schwingermodel_tpu.utils.metrics import cg_iteration_flops
 
-    thetas = jax.random.uniform(
-        jax.random.fold_in(key, 7), (N_CHAINS, 2, 64, 64),
-        minval=-jnp.pi, maxval=jnp.pi, dtype=lat.rdtype)
-    therm_mc = make_run(BLOCK, N_CHAINS)
-    thetas, a, _ = therm_mc(thetas, jax.random.fold_in(key, 8))
-    float(a)
-    run_mc = make_run(N_TIMED_MC, N_CHAINS)
-    th2, a, it = run_mc(thetas, jax.random.fold_in(key, 9))
-    float(a)
-    t0 = time.perf_counter()
-    th2, a, it = run_mc(thetas, jax.random.fold_in(key, 10))
-    iters = float(it)                          # readback fence
-    dt_mc = time.perf_counter() - t0
+    _, loose, refined = _models()
 
-    agg = N_TIMED_MC * N_CHAINS / dt_mc
-    gflops = iters * cg_iteration_flops(64 * 64, True) / dt_mc / 1e9
-    print(json.dumps({
-        "metric": "cg_sustained_gflops_64x64_c32",
-        "value": round(gflops, 1),
-        "unit": "GFLOP/s",
-        "vs_baseline": None,
-    }), flush=True)
-    print(json.dumps({
-        "metric": "hmc_traj_per_s_64x64_agg_c32",
-        "value": round(agg, 3),
-        "unit": "traj/s/chip",
-        "vs_baseline": round(agg / CPP_BASELINE_TRAJ_PER_S, 2),
-    }), flush=True)
+    # ---- loose contract (tol 1e-6, --no-cg-refine), packed fused path ----
+    v1, acc1, _ = run_packed(loose, 1, BLOCK, 500, seed=0)
+    emit("hmc_traj_per_s_64x64", round(v1, 3), "traj/s",
+         round(v1 / CPP_BASELINE_TRAJ_PER_S, 2),
+         contract="loose_f32_tol1e-6", acceptance=round(acc1, 3))
+
+    vl, accl, itl = run_packed(loose, N_CHAINS, BLOCK, 200, seed=1)
+    emit("hmc_traj_per_s_64x64_agg_c32", round(vl, 3), "traj/s/chip",
+         round(vl / CPP_BASELINE_TRAJ_PER_S, 2),
+         contract="loose_f32_tol1e-6", acceptance=round(accl, 3),
+         cg_iters_per_traj=round(itl, 1))
+
+    # ---- shipped contract (tol 1e-10 via dfloat refinement; CLI default) --
+    vr1, accr1, itr1, _ = run_vmapped(refined, 1, BLOCK, 200, seed=2)
+    emit("hmc_traj_per_s_64x64_refined", round(vr1, 3), "traj/s",
+         round(vr1 / CPP_BASELINE_TRAJ_PER_S, 2),
+         contract="refined_1e-10_dfloat", acceptance=round(accr1, 3))
+
+    vr, accr, itr, dtr = run_vmapped(refined, N_CHAINS, BLOCK, 100, seed=3)
+    gflops = (itr * 100 * N_CHAINS) * cg_iteration_flops(64 * 64, True) \
+        / dtr / 1e9
+    emit("cg_sustained_gflops_64x64_c32", round(gflops, 1), "GFLOP/s",
+         None, contract="refined_1e-10_dfloat(inner f32 iters)")
+    emit("hmc_traj_per_s_64x64_agg_c32_refined", round(vr, 3), "traj/s/chip",
+         round(vr / CPP_BASELINE_TRAJ_PER_S, 2),
+         contract="refined_1e-10_dfloat", acceptance=round(accr, 3),
+         cg_iters_per_traj=round(itr, 1),
+         loose_aggregate=round(vl, 1),
+         refined_over_loose=round(vr / vl, 3))
 
 
 if __name__ == "__main__":

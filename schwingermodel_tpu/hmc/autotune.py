@@ -129,9 +129,23 @@ def tune_step_size(
 
 def finalize(hmc: HMCParams, eps: float, max_md_steps: int = 1000) -> HMCParams:
     """Re-quantize a tuned step into the reference's fixed-length convention:
-    keep trajectory_length, set md_steps = clip(round(tau/eps), 2, max)."""
+    keep trajectory_length, set md_steps = clip(round(tau/eps), min, max).
+
+    The tuned eps is the per-step size of whichever integrator ran the
+    warmup, so round(tau/eps) reproduces the tuned acceptance for both
+    schemes. `max_md_steps` is a *force-evaluation* budget cap: an Omelyan
+    2MN step costs TWO force evaluations (hmc/integrators.py:76-130) vs
+    leapfrog's one, so the step-count cap is halved there -- otherwise a
+    tune run with --integrator omelyan could silently commit to twice the
+    intended compute. Omelyan is also well-defined at a single step
+    (leapfrog's structure needs >= 2).
+    """
     tau = hmc.trajectory_length
-    md = int(max(2, min(max_md_steps, round(tau / float(eps)))))
+    if hmc.integrator == "omelyan":
+        lo, hi = 1, max(1, max_md_steps // 2)
+    else:
+        lo, hi = 2, max_md_steps
+    md = int(max(lo, min(hi, round(tau / float(eps)))))
     return dataclasses.replace(hmc, md_steps=md)
 
 

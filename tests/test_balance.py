@@ -161,6 +161,44 @@ def test_omelyan_beats_leapfrog_at_equal_force_budget():
     assert a_om < 0.5 * a_lf, (a_om, a_lf)
 
 
+@pytest.mark.slow
+def test_expmdh_unity_omelyan_f32_refined():
+    """<exp(-dH)> = 1 for the Omelyan 2MN integrator AT THE SHIPPED f32
+    OPERATING POINT (refinement to 1e-10, forecasting through both force
+    solves per step) -- the statistical detailed-balance gate the
+    |dH|-superiority and reversibility tests cannot substitute for."""
+    import dataclasses
+
+    model = _model("float32", refine=True, tol=1e-10, md_steps=4)
+    model = dataclasses.replace(
+        model, hmc=dataclasses.replace(model.hmc, integrator="omelyan"))
+    _, st = _run_chain(model, 100, 600)
+    assert st.delta_H.dtype == jnp.float64
+    _assert_expmdh_unity(st)
+
+
+def test_finalize_accounts_for_omelyan_force_cost():
+    """autotune.finalize treats max_md_steps as a FORCE-EVAL budget: an
+    Omelyan step runs two force solves, so its step-count cap is half
+    leapfrog's; both reproduce the tuned eps below the cap."""
+    import dataclasses
+
+    from schwingermodel_tpu.hmc.autotune import finalize
+
+    hmc_lf = _model("float32", refine=False, tol=1e-6).hmc
+    hmc_om = dataclasses.replace(hmc_lf, integrator="omelyan")
+
+    # below the cap: both quantize md = round(tau/eps)
+    assert finalize(hmc_lf, 0.1).md_steps == 10
+    assert finalize(hmc_om, 0.1).md_steps == 10
+    # tiny eps: the cap binds, omelyan at half the step count
+    assert finalize(hmc_lf, 1e-5, max_md_steps=100).md_steps == 100
+    assert finalize(hmc_om, 1e-5, max_md_steps=100).md_steps == 50
+    # omelyan is valid at a single step; leapfrog needs two
+    assert finalize(hmc_lf, 10.0).md_steps == 2
+    assert finalize(hmc_om, 10.0).md_steps == 1
+
+
 def test_omelyan_reversibility():
     """Integrate forward, negate momenta, integrate back: identity to
     roundoff (time-reversibility of the 2MN scheme)."""
