@@ -26,7 +26,11 @@ from schwingermodel_tpu.ops import dirac as dops
 from schwingermodel_tpu.ops import eo
 from schwingermodel_tpu.ops import gauge as gops
 from schwingermodel_tpu.ops.geometry import Geometry
-from schwingermodel_tpu.solvers.cg import CGResult, cg_solve
+from schwingermodel_tpu.solvers.cg import (
+    CGResult,
+    cg_solve,
+    cg_solve_single_reduction,
+)
 
 
 class SolveStats(NamedTuple):
@@ -221,11 +225,19 @@ class SchwingerModel:
             )
             return CGResult(x=res.x, iters=res.iters, converged=res.converged,
                             rel_residual=res.rel_residual)
-        return cg_solve(
-            ops.normal, b, self._dot_re, x0=x0,
-            tol=tol, max_iter=self.hmc.cg.max_iter,
-            sync_pred=self.geom.sync_any,
-        )
+        return self._cg(self._eo_cg_operator(ops), b, x0, tol)
+
+    def _eo_cg_operator(self, ops: eo.EOOperators):
+        """The (Dhat Dhat^+) closure for the jnp CG loop. On a sharded mesh
+        with big-enough local blocks, the wide-halo composite exchanges one
+        width-4 ring per apply -- 4 ppermutes/iteration instead of 16
+        (ops/eo_halo.py); links extend once per solve here."""
+        from schwingermodel_tpu.ops import eo_halo
+
+        Nx_l, Nth_l = ops.Ue.shape[-2:]
+        if eo_halo.supported(self.geom, Nx_l, Nth_l):
+            return eo_halo.EOOperatorsHalo(self.geom, ops.Uf, ops.m0).normal
+        return ops.normal
 
     def _solve_eo(self, theta: jax.Array, ops: eo.EOOperators, b: jax.Array,
                   x0=None) -> CGResult:
@@ -252,12 +264,7 @@ class SchwingerModel:
             return dops.dirac_normal(self.geom, Uf, v, m0)
 
         def inner(rhs, x0_lo):
-            res = cg_solve(
-                apply_lo, rhs, self._dot_re, x0=x0_lo,
-                tol=self.hmc.cg.inner_tol,
-                max_iter=self.hmc.cg.max_iter,
-                sync_pred=self.geom.sync_any,
-            )
+            res = self._cg(apply_lo, rhs, x0_lo, self.hmc.cg.inner_tol)
             return res.x, res.iters
 
         if self._refine_impl() == "dfloat":
@@ -287,15 +294,26 @@ class SchwingerModel:
         precision dispatch as _solve_eo."""
         if self._refine_active():
             return self._solve_full_refined(theta, Uf, b, x0=x0)[0]
-        return cg_solve(
+        return self._cg(
             lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0),
-            b, self._dot_re, x0=x0,
-            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-            sync_pred=self.geom.sync_any,
-        )
+            b, x0, self.hmc.cg.tol)
 
     def _dot_re(self, x, y):
         return jnp.real(dops.spinor_dot(self.geom, x, y))
+
+    def _dot_batch_re(self, pairs):
+        return dops.spinor_dot_re_batch(self.geom, pairs)
+
+    def _cg(self, apply_A, b, x0, tol) -> CGResult:
+        """The jnp-level CG used by every non-fused solve: single-reduction
+        variant (one batched geometry reduction per iteration -- one psum
+        sharded, vs the reference's two MPI_Allreduce,
+        src/conjugate_gradient.cpp:33-44)."""
+        return cg_solve_single_reduction(
+            apply_A, b, self._dot_re, self._dot_batch_re, x0=x0,
+            tol=tol, max_iter=self.hmc.cg.max_iter,
+            sync_pred=self.geom.sync_any,
+        )
 
     def solve_normal(self, theta: jax.Array, b: jax.Array) -> CGResult:
         """psi = (DD^+)^{-1} b via CG; fermion links hoisted out of the loop."""
@@ -310,11 +328,7 @@ class SchwingerModel:
         def apply_A(v):
             return dops.dirac_normal(self.geom, Uf, v, m0)
 
-        return cg_solve(
-            apply_A, b, self._dot_re,
-            tol=self.hmc.cg.tol, max_iter=self.hmc.cg.max_iter,
-            sync_pred=self.geom.sync_any,
-        )
+        return self._cg(apply_A, b, None, self.hmc.cg.tol)
 
     # ---------- forces ----------
 

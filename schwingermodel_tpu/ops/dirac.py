@@ -174,6 +174,21 @@ def spinor_dot(geom: Geometry, x: jax.Array, y: jax.Array) -> jax.Array:
     return geom.gsum(jnp.sum(jnp.conj(x) * y, axis=-3))
 
 
+def spinor_dot_re_batch(geom: Geometry, pairs) -> jax.Array:
+    """Re<a_i, b_i> for several spinor pairs with ONE global reduction.
+
+    Returns the stacked results along axis 0. On a sharded mesh this costs
+    a single psum instead of one per dot -- the collective-count lever the
+    single-reduction CG uses (solvers/cg.py; the reference pays one
+    MPI_Allreduce per inner product, include/variables.h:181-192)."""
+    locs = [
+        jnp.sum(jnp.real(a) * jnp.real(b) + jnp.imag(a) * jnp.imag(b),
+                axis=(-3, -2, -1))
+        for a, b in pairs
+    ]
+    return geom.gsum_stack(locs)
+
+
 def spinor_norm2(geom: Geometry, x: jax.Array) -> jax.Array:
     """Global ||x||^2 as a real scalar (per leading batch element)."""
     a = jnp.real(x) ** 2 + jnp.imag(x) ** 2

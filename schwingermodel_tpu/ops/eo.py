@@ -185,10 +185,12 @@ class EOOperators:
     def __init__(self, geom: Geometry, Uf: jax.Array, m0):
         *_, Nx, Nt = Uf.shape
         self.geom = geom
+        self.Uf = Uf                    # kept for the wide-halo CG operator
         self.Ue = pack(geom, Uf, EVEN)
         self.Uo = pack(geom, Uf, ODD)
         self.off_e = row_offset(geom, Nx, Nt // 2, EVEN)
         self.off_o = row_offset(geom, Nx, Nt // 2, ODD)
+        self.m0 = m0
         self.m = m0 + 2.0
         self.c = 1.0 / (4.0 * self.m)
 

@@ -59,6 +59,15 @@ class Geometry:
         """Global sum over *all* axes of a (incl. spin/direction axis)."""
         return jnp.sum(a)
 
+    def gsum_stack(self, locals_: list) -> jax.Array:
+        """Globally reduce a LIST of already-lattice-summed local scalars
+        with ONE collective: returns them stacked along a new axis 0.
+
+        Single-device: the locals are already global -- just stack. Sharded:
+        one psum on the stacked array replaces one collective per scalar
+        (the reference pays one MPI_Allreduce per dot, variables.h:190)."""
+        return jnp.stack(locals_)
+
     def global_coords(self, Nx: int, Nt: int):
         """(x, t) global integer coordinate grids of shape (Nx, Nt)."""
         x = lax.broadcasted_iota(jnp.int32, (Nx, Nt), 0)
@@ -124,12 +133,24 @@ class ShardedGeometry(Geometry):
     def gsum_all(self, a: jax.Array) -> jax.Array:
         return lax.psum(jnp.sum(a), (self.x_name, self.t_name))
 
+    def gsum_stack(self, locals_: list) -> jax.Array:
+        return lax.psum(jnp.stack(locals_), (self.x_name, self.t_name))
+
     def sync_any(self, pred: jax.Array) -> jax.Array:
         """OR across chain groups: keeps iterative-solver while_loops running
         in lockstep on all device groups of the mesh (a group whose collective
         -permute schedule diverges from its neighbors deadlocks the program;
-        the vmap analog is JAX's own freezing of converged lanes)."""
+        the vmap analog is JAX's own freezing of converged lanes).
+
+        On a chain-ONLY mesh (both lattice axes unsharded) the loop body
+        contains no genuine collectives, so groups cannot desynchronize and
+        the lockstep psum -- which would be the loop's only cross-group
+        (cross-DCN in the multihost layout) traffic -- is skipped: chains on
+        different hosts then iterate fully independently."""
         if self.chain_name is None:
+            return pred
+        if (lax.axis_size(self.x_name) == 1
+                and lax.axis_size(self.t_name) == 1):
             return pred
         return lax.psum(pred.astype(jnp.int32), self.chain_name) > 0
 
