@@ -25,7 +25,14 @@ from schwingermodel_tpu.parallel.sharded import make_sharded_observables
 
 from tests.conftest import random_spinor, random_theta
 
-MESH_SHAPES = [(1, 1), (2, 1), (1, 2), (2, 2), (4, 2), (1, 8)]
+# Representative shapes run by default: the degenerate 1x1 topology, one
+# per-axis ring, and the 2D grid. The wider sweep (tall/wide/8-way) is
+# compile-bound and runs under `pytest -m meshes` (cold-suite wall-clock,
+# VERDICT r2 item 9).
+MESH_SHAPES = [(1, 1), (1, 2), (2, 2)] + [
+    pytest.param(s, marks=pytest.mark.meshes)
+    for s in [(2, 1), (4, 2), (1, 8)]
+]
 
 GEOM = Geometry()
 SGEOM = ShardedGeometry()
@@ -80,7 +87,11 @@ def test_sharded_staples_bitwise(rng, mesh_shape):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (4, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 2),
+    pytest.param((1, 4), marks=pytest.mark.meshes),
+    pytest.param((4, 2), marks=pytest.mark.meshes),
+])
 def test_sharded_trajectory_matches_single_device(rng, mesh_shape):
     """Full HMC trajectory: sharded == single-device to tight tolerance.
 
