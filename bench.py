@@ -9,12 +9,13 @@ defaults to exactly this configuration, cli.py:174-197). The loose-mode
 (tol 1e-6, refinement off, --no-cg-refine) numbers are printed alongside,
 each labeled by its "contract" field.
 
-Loose-mode trajectories run on the lane-packed fused path (hmc/packed.py):
-the state lives in checkerboard plane layout and each MD force step -- link
-construction, the whole CG solve, fermion + staple forces -- is ONE Pallas
-kernel (ops/pallas_traj.py). Refined-mode trajectories run the standard
-vmapped path whose inner solves use the lane-packed fused CG kernel and
-whose true residuals run in double-float (the CLI's default code path).
+Both contracts run on the lane-packed fused path (hmc/packed.py; the
+runner's fast path, i.e. what the CLI executes): the state lives in
+checkerboard plane layout and each MD force step -- link construction, the
+whole CG solve, fermion + staple forces -- is ONE Pallas kernel
+(ops/pallas_traj.py). Refined mode adds the fused double-float
+true-residual kernel between f32 inner solves (ops/pallas_df.py), with
+the Hamiltonian terms accumulated in df and dH formed in df.
 
 Baseline: the C++/MPI reference (Fabian2598/SchwingerModel) publishes no
 performance numbers (BASELINE.md), so the anchor is our measurement of the
@@ -47,7 +48,6 @@ enable_compilation_cache()
 
 from schwingermodel_tpu.config import CGParams, HMCParams, LatticeParams
 from schwingermodel_tpu.hmc import packed as hp
-from schwingermodel_tpu.hmc.sampler import hmc_trajectory
 from schwingermodel_tpu.models.schwinger import SchwingerModel
 from schwingermodel_tpu.utils import prng
 
@@ -110,43 +110,6 @@ def run_packed(model, C, n_therm, n_timed, seed=0):
     return n_timed * C / dt, acc / (n_timed * C), iters / (n_timed * C)
 
 
-def run_vmapped(model, C, n_therm, n_timed, seed=0):
-    """Standard-path throughput (the CLI's refined code path)."""
-    key = prng.root_key(seed)
-    shape = (C, 2, 64, 64) if C > 1 else (2, 64, 64)
-    thetas = jax.random.uniform(
-        jax.random.fold_in(key, 7), shape,
-        minval=-jnp.pi, maxval=jnp.pi, dtype=jnp.float32)
-    traj = (hmc_trajectory if C == 1 else
-            jax.vmap(lambda th, k: hmc_trajectory(model, th, k)))
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run(theta, k0, n):
-        keys = jax.vmap(lambda i: prng.trajectory_key(k0, i))(jnp.arange(n))
-        if C > 1:
-            keys = jax.vmap(lambda k: jax.vmap(
-                lambda c: jax.random.fold_in(k, c))(jnp.arange(C)))(keys)
-
-        def body(th, k):
-            if C == 1:
-                th, st = hmc_trajectory(model, th, k)
-            else:
-                th, st = traj(th, k)
-            return th, (jnp.sum(st.accepted), jnp.sum(st.cg_iters))
-        th, (acc, it) = jax.lax.scan(body, theta, keys)
-        return th, jnp.sum(acc), jnp.sum(it)
-
-    th, a, it = run(thetas, key, n_therm)
-    float(a)
-    th2, a, it = run(th, jax.random.fold_in(key, 1), n_timed)
-    float(a)
-    t0 = time.perf_counter()
-    th2, a, it = run(th, jax.random.fold_in(key, 2), n_timed)
-    acc = float(a); iters = float(it)
-    dt = time.perf_counter() - t0
-    return n_timed * C / dt, acc / (n_timed * C), iters / (n_timed * C), dt
-
-
 def main():
     from schwingermodel_tpu.utils.metrics import cg_iteration_flops
 
@@ -164,15 +127,16 @@ def main():
          contract="loose_f32_tol1e-6", acceptance=round(accl, 3),
          cg_iters_per_traj=round(itl, 1))
 
-    # ---- shipped contract (tol 1e-10 via dfloat refinement; CLI default) --
-    vr1, accr1, itr1, _ = run_vmapped(refined, 1, BLOCK, 200, seed=2)
+    # ---- shipped contract (tol 1e-10 via dfloat refinement; CLI default,
+    # runner fast path = packed df kernels, hmc/packed.py + ops/pallas_df) --
+    vr1, accr1, _ = run_packed(refined, 1, BLOCK, 200, seed=2)
     emit("hmc_traj_per_s_64x64_refined", round(vr1, 3), "traj/s",
          round(vr1 / CPP_BASELINE_TRAJ_PER_S, 2),
          contract="refined_1e-10_dfloat", acceptance=round(accr1, 3))
 
-    vr, accr, itr, dtr = run_vmapped(refined, N_CHAINS, BLOCK, 100, seed=3)
+    vr, accr, itr = run_packed(refined, N_CHAINS, BLOCK, 100, seed=3)
     gflops = (itr * 100 * N_CHAINS) * cg_iteration_flops(64 * 64, True) \
-        / dtr / 1e9
+        / (100 * N_CHAINS / vr) / 1e9
     emit("cg_sustained_gflops_64x64_c32", round(gflops, 1), "GFLOP/s",
          None, contract="refined_1e-10_dfloat(inner f32 iters)")
     emit("hmc_traj_per_s_64x64_agg_c32_refined", round(vr, 3), "traj/s/chip",

@@ -38,13 +38,18 @@ class PackedTheta(NamedTuple):
 
 
 def packed_supported(model: SchwingerModel) -> bool:
-    """True when the fused packed-trajectory path applies to this model."""
+    """True when the fused packed-trajectory path applies to this model.
+
+    Covers BOTH solver contracts: loose (refine off, working-precision CG)
+    and the shipped 1e-10 contract (cg.refine on f32) -- the packed
+    refinement always uses the double-float kernels (ops/pallas_df.py)
+    regardless of cg.refine_impl, which only selects the arithmetic of the
+    UNPACKED path."""
     return (
         model.hmc.even_odd
         and not model.geom.is_sharded
         and not model.hmc.quenched
         and model.lattice.rdtype == jnp.float32
-        and not model.hmc.cg.refine
         and model.hmc.integrator in ("leapfrog", "omelyan")
     )
 
@@ -93,17 +98,49 @@ def trajectory_packed_given_noise(
     dt = model.hmc.step_size if dt is None else dt
     forecast = model.hmc.cg_forecast
 
+    # the shipped 1e-10 contract: f32 inner solves + double-float true
+    # residuals in the fused df kernel, Hamiltonian terms accumulated in df
+    # and dH formed in df before collapsing (ops/pallas_df.py)
+    refined = bool(model.hmc.cg.refine)
+    inner_tol = float(model.hmc.cg.inner_tol)
+    max_outer = int(model.hmc.cg.max_outer)
+
     chi_p = pt.pack_even(chi)
     phi_p = pt.dhat_packed(th.E, th.O, chi_p, m0, Nth)   # Phi = Dhat chi
 
     # --- old Hamiltonian (sampler: exact S_f_old = |chi|^2) ---
-    kin_old = pt.kinetic_packed(piE, piO, C)
-    sg_old = pt.gauge_action_packed(th.E, th.O, beta, C, Nth)
-    sf_old = jnp.sum(
-        jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=(1, 2, 3))
-    H_old = kin_old + sg_old + sf_old
+    if refined:
+        from schwingermodel_tpu.ops import pallas_df as pdf
+        from schwingermodel_tpu.solvers.dfloat import df_add, df_sub
+
+        kin_df = pdf.kinetic_packed_df(piE, piO, C)
+        sg_df = pdf.gauge_action_packed_df(th.E, th.O, beta, C, Nth)
+        sf_df = pdf.norm2_packed_df(chi_p, C)
+        H_old_df = df_add(df_add(kin_df, sg_df), sf_df)
+    else:
+        kin_old = pt.kinetic_packed(piE, piO, C)
+        sg_old = pt.gauge_action_packed(th.E, th.O, beta, C, Nth)
+        sf_old = jnp.sum(
+            jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=(1, 2, 3))
+        H_old = kin_old + sg_old + sf_old
+
+    def solve_refined(thE, thO, b_p, x0_p):
+        from schwingermodel_tpu.ops import pallas_df as pdf
+
+        return pdf.solve_refined_packed(
+            thE, thO, b_p, x0_p, m0=m0, tol=tol, inner_tol=inner_tol,
+            max_iter=max_iter, max_outer=max_outer, Nth=Nth,
+            interpret=interpret)
 
     def force(thE, thO, x0_p, iters, conv):
+        if refined:
+            sol = solve_refined(thE, thO, phi_p, x0_p)
+            res = pt.force_step_fused(
+                thE, thO, phi_p, sol.x, m0=m0, beta=beta, tol=tol,
+                max_iter=max_iter, Nth=Nth, with_solve=False,
+                interpret=interpret)
+            return (res.FE, res.FO, sol.x, iters + sol.iters,
+                    jnp.logical_and(conv, sol.converged))
         res = pt.force_step_fused(
             thE, thO, phi_p, x0_p, m0=m0, beta=beta, tol=tol,
             max_iter=max_iter, Nth=Nth, interpret=interpret)
@@ -190,16 +227,30 @@ def trajectory_packed_given_noise(
         psi_fc = psi if forecast else phi_p
 
     # --- new Hamiltonian ---
-    sol = pt.solve_fused(
-        thE, thO, phi_p, psi_fc, m0=m0, tol=tol,
-        max_iter=max_iter, Nth=Nth, interpret=interpret)
-    iters = iters + sol.iters
-    conv = jnp.logical_and(conv, sol.converged)
-    sf_new = pt.dot_re_packed(phi_p, sol.x, C)
-    H_new = (pt.kinetic_packed(piE_n, piO_n, C)
-             + pt.gauge_action_packed(thE, thO, beta, C, Nth) + sf_new)
+    if refined:
+        from schwingermodel_tpu.ops import pallas_df as pdf
+        from schwingermodel_tpu.solvers.dfloat import df_add, df_sub
 
-    dH = H_new - H_old
+        sol = solve_refined(thE, thO, phi_p, psi_fc)
+        iters = iters + sol.iters
+        conv = jnp.logical_and(conv, sol.converged)
+        sf_new_df = pdf.dot_re_packed_df(phi_p, sol.x_hi, sol.x_lo, C)
+        H_new_df = df_add(
+            df_add(pdf.kinetic_packed_df(piE_n, piO_n, C),
+                   pdf.gauge_action_packed_df(thE, thO, beta, C, Nth)),
+            sf_new_df)
+        dH_df = df_sub(H_new_df, H_old_df)
+        dH = dH_df[0] + dH_df[1]            # f32 collapse of the df dH
+    else:
+        sol = pt.solve_fused(
+            thE, thO, phi_p, psi_fc, m0=m0, tol=tol,
+            max_iter=max_iter, Nth=Nth, interpret=interpret)
+        iters = iters + sol.iters
+        conv = jnp.logical_and(conv, sol.converged)
+        sf_new = pt.dot_re_packed(phi_p, sol.x, C)
+        H_new = (pt.kinetic_packed(piE_n, piO_n, C)
+                 + pt.gauge_action_packed(thE, thO, beta, C, Nth) + sf_new)
+        dH = H_new - H_old
     accept = r <= jnp.exp(-dH)                      # hmc.cpp:171
     acc_lane = jnp.repeat(accept, Nth)[None, :]     # [1, N] block mask
     thE_next = pt.fold_packed(jnp.where(acc_lane, thE, th.E))

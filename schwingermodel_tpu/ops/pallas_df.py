@@ -1,0 +1,329 @@
+"""Double-float even-odd normal apply on lane-packed planes + its kernel.
+
+The dfloat refinement's true-residual evaluator (ops/eo_df.py) runs at the
+XLA level, where every error-free transform is pinned by an
+optimization_barrier -- correct, but the barriers also stop XLA from
+fusing, so a df apply decomposes into hundreds of tiny HBM-round-trip
+kernels. Inside a Pallas program the operands live in VMEM regardless of
+fusion, so the SAME df arithmetic (solvers/dfloat.py is pure jnp and runs
+unchanged under Mosaic, which preserves EFTs on TPU -- the
+tests_tpu eft_selfcheck gate) costs its raw VPU flops.
+
+This module provides:
+  - LaneGeometry: a duck-typed Geometry whose shifts act on lane-packed
+    [.., Nx, N] planes (N = C*Nth chain-major lanes), so ops/eo_df.py's
+    hop_df/hop_dag_df run UNCHANGED on the packed layout;
+  - EODFLanes: df links (folded, from the packed angle planes) + the
+    Dhat Dhat^+ df composite;
+  - df_normal_fused: the whole df normal apply as ONE Pallas kernel
+    (planar pair in / planar pair out);
+  - solve_refined_packed: the full 1e-10-contract solve on packed planes --
+    f32 inner solves (ops/pallas_traj.solve_fused) + df true-residual
+    refinement (this kernel), mirroring solvers/refine.cg_refine_df.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from schwingermodel_tpu.ops import eo_df
+from schwingermodel_tpu.ops import pallas_traj as pt
+from schwingermodel_tpu.ops.geometry import T_AXIS, X_AXIS
+from schwingermodel_tpu.ops.pallas_eo import _VMEM_LIMIT_BYTES
+from schwingermodel_tpu.solvers.dfloat import (
+    DFComplex,
+    df_add,
+    df_sum_all,
+    dfc_add,
+    dfc_from_c,
+    dfc_sub,
+    dfc_to_c,
+    two_prod,
+)
+
+
+class LaneGeometry:
+    """Geometry duck type for lane-packed planes: x-shifts slice rows,
+    t-shifts are the in-chain periodic lane shifts of pallas_traj."""
+
+    is_sharded = False
+
+    def __init__(self, N: int, Nth: int):
+        self._sp, self._sm = pt.lane_tshifts(N, Nth)
+
+    def shift(self, a: jax.Array, axis: int, delta: int) -> jax.Array:
+        if axis % a.ndim == (X_AXIS % a.ndim):
+            if delta == 1:
+                return jnp.concatenate(
+                    [a[..., 1:, :], a[..., :1, :]], axis=-2)
+            return jnp.concatenate(
+                [a[..., -1:, :], a[..., :-1, :]], axis=-2)
+        assert axis % a.ndim == (T_AXIS % a.ndim)
+        return self._sp(a) if delta == 1 else self._sm(a)
+
+
+def _dfc_planes(p_hi: jax.Array, p_lo: jax.Array) -> DFComplex:
+    """planar pairs [2, 2, Nx, N] (spin, re/im) -> DFComplex with the
+    eo_df convention (components shaped [2(spin), Nx, N])."""
+    return DFComplex((p_hi[:, 0], p_lo[:, 0]), (p_hi[:, 1], p_lo[:, 1]))
+
+
+def _planes_dfc(z: DFComplex):
+    hi = jnp.stack([z.re[0], z.im[0]], axis=1)
+    lo = jnp.stack([z.re[1], z.im[1]], axis=1)
+    return hi, lo
+
+
+class EODFLanes:
+    """Dhat / Dhat^+ / normal in df arithmetic on lane-packed planes.
+
+    thE/thO: f32 angle planes [2, Nx, N]. Reuses ops/eo_df.py's hop code
+    verbatim through LaneGeometry; the antiperiodic sign is folded into
+    the df links exactly as links_from_theta folds the f32 ones."""
+
+    def __init__(self, thE: jax.Array, thO: jax.Array, m0: float, Nth: int):
+        from schwingermodel_tpu.solvers.dfloat import dfc_expi
+
+        Nx, N = thE.shape[-2:]
+        self.geom = LaneGeometry(N, Nth)
+        mask_e, mask_o = pt.parity_masks(Nx)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        last = jax.lax.rem(lane, jnp.int32(Nth)) == jnp.int32(Nth - 1)
+
+        def links(th, mask):
+            u0 = dfc_expi(th[0])
+            u1 = dfc_expi(th[1])
+            neg = jnp.logical_and(mask, last)
+
+            def fold(p):
+                return jnp.where(neg, -p, p)
+
+            u0f = DFComplex((fold(u0.re[0]), fold(u0.re[1])),
+                            (fold(u0.im[0]), fold(u0.im[1])))
+            return DFComplex(
+                (jnp.stack([u0f.re[0], u1.re[0]], axis=-3),
+                 jnp.stack([u0f.re[1], u1.re[1]], axis=-3)),
+                (jnp.stack([u0f.im[0], u1.im[0]], axis=-3),
+                 jnp.stack([u0f.im[1], u1.im[1]], axis=-3)),
+            )
+
+        self.Ue = links(thE, mask_e)
+        self.Uo = links(thO, mask_o)
+        # eo_df gathers select on off == 1; the parity masks are exactly
+        # that predicate
+        self.off_e = mask_e
+        self.off_o = mask_o
+        self.m = float(m0) + 2.0
+        self.c = 1.0 / (4.0 * self.m)
+
+    def dhat(self, v: DFComplex) -> DFComplex:
+        w = eo_df.hop_df(self.geom, self.Uo, self.Ue, v, self.off_o)
+        h = eo_df.hop_df(self.geom, self.Ue, self.Uo, w, self.off_e)
+        return dfc_sub(eo_df._scale_f(v, self.m), eo_df._scale_f(h, self.c))
+
+    def dhat_dag(self, v: DFComplex) -> DFComplex:
+        w = eo_df.hop_dag_df(self.geom, self.Uo, self.Ue, v, self.off_o)
+        h = eo_df.hop_dag_df(self.geom, self.Ue, self.Uo, w, self.off_e)
+        return dfc_sub(eo_df._scale_f(v, self.m), eo_df._scale_f(h, self.c))
+
+    def normal(self, v: DFComplex) -> DFComplex:
+        return self.dhat(self.dhat_dag(v))
+
+
+# ---------- the fused df residual kernel ----------
+
+def _df_residual_kernel(the_ref, tho_ref, bhi_ref, blo_ref, xhi_ref, xlo_ref,
+                        rhi_ref, rlo_ref,
+                        *, m0: float, Nth: int):
+    """r = b - (Dhat Dhat^+) x, everything in df: ONE TPU program.
+
+    Traced with EFT barriers OFF: Mosaic cannot lower
+    optimization_barrier and does not need it (dfloat.unsafe_no_barriers;
+    the on-device oracle tests in tests_tpu/ verify the df accuracy)."""
+    from schwingermodel_tpu.solvers.dfloat import unsafe_no_barriers
+
+    with unsafe_no_barriers():
+        thE = jnp.stack([the_ref[0], the_ref[1]])
+        thO = jnp.stack([tho_ref[0], tho_ref[1]])
+        ops = EODFLanes(thE, thO, m0, Nth)
+        x = _dfc_planes(xhi_ref[...], xlo_ref[...])
+        b = _dfc_planes(bhi_ref[...], blo_ref[...])
+        r = dfc_sub(b, ops.normal(x))
+        hi, lo = _planes_dfc(r)
+    rhi_ref[...] = hi
+    rlo_ref[...] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("m0", "Nth", "interpret"))
+def df_residual_fused(thE, thO, b_hi, b_lo, x_hi, x_lo, *, m0: float,
+                      Nth: int, interpret: bool = False):
+    """(r_hi, r_lo) planar [2, 2, Nx, N] = b - A x in double-float."""
+    _, Nx, N = thE.shape
+    kernel = functools.partial(_df_residual_kernel, m0=m0, Nth=Nth)
+    out_shape = (
+        jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),
+        jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, in_specs=[vspec] * 6,
+        out_specs=(vspec, vspec), interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+    )(thE, thO, b_hi, b_lo, x_hi, x_lo)
+
+
+# ---------- packed 1e-10-contract solve ----------
+
+class RefinedSolveResult(NamedTuple):
+    x: jax.Array          # f32 planar [2, 2, Nx, N] (df collapse)
+    x_hi: jax.Array       # df solution, hi planes
+    x_lo: jax.Array       # df solution, lo planes
+    iters: jax.Array      # int32 [C] total inner iterations
+    converged: jax.Array  # bool [C] (df true-residual criterion)
+
+
+def _chain_dot(p: jax.Array, q: jax.Array, C: int) -> jax.Array:
+    """Per-chain Re<p, q> of planar spinors (f32) -> [C]."""
+    return pt.chain_sum(jnp.sum(p * q, axis=(0, 1)), C)
+
+
+def solve_refined_packed(thE, thO, b_p, x0_p, *, m0: float, tol: float,
+                         inner_tol: float, max_iter: int, max_outer: int,
+                         Nth: int, interpret: bool = False,
+                         ) -> RefinedSolveResult:
+    """(Dhat Dhat^+)^{-1} b meeting `tol` at f64 grade on packed planes:
+    f32 inner solves in the fused CG kernel + df true residuals in the
+    fused df kernel (solvers/refine.cg_refine_df semantics, incl. the
+    stagnation early-exit; per-chain convergence)."""
+    _, Nx, N = thE.shape
+    C = N // Nth
+    zeros = jnp.zeros_like(b_p)
+
+    b_norm2 = _chain_dot(b_p, b_p, C)
+    stop2 = jnp.float32(tol * tol) * b_norm2
+
+    x_hi, x_lo = x0_p, jnp.zeros_like(x0_p)
+    r_hi, r_lo = df_residual_fused(thE, thO, b_p, zeros, x_hi, x_lo,
+                                   m0=m0, Nth=Nth, interpret=interpret)
+    r_c = r_hi + r_lo
+    rho = _chain_dot(r_c, r_c, C)
+
+    def cond(carry):
+        _, _, _, _, rho, rho_prev, k, _ = carry
+        active = jnp.logical_and(jnp.any(rho >= stop2), k < max_outer)
+        progressing = jnp.logical_or(
+            k == 0, jnp.any(rho * 4.0 <= rho_prev))
+        return jnp.logical_and(active, progressing)
+
+    def body(carry):
+        x_hi, x_lo, r_hi, r_lo, rho, _, k, it = carry
+        r_c = r_hi + r_lo
+        d = pt.solve_fused(thE, thO, r_c, jnp.zeros_like(r_c), m0=m0,
+                           tol=inner_tol, max_iter=max_iter, Nth=Nth,
+                           interpret=interpret)
+        # x += d in df (two_sum per plane element)
+        x_df = dfc_add(_dfc_planes(x_hi, x_lo), dfc_from_c_planes(d.x))
+        x_hi, x_lo = _planes_dfc(x_df)
+        r_hi, r_lo = df_residual_fused(
+            thE, thO, b_p, zeros, x_hi, x_lo,
+            m0=m0, Nth=Nth, interpret=interpret)
+        r_c2 = r_hi + r_lo
+        rho_new = _chain_dot(r_c2, r_c2, C)
+        return (x_hi, x_lo, r_hi, r_lo, rho_new, rho, k + 1, it + d.iters)
+
+    x_hi, x_lo, r_hi, r_lo, rho, _, k, iters = jax.lax.while_loop(
+        cond, body,
+        (x_hi, x_lo, r_hi, r_lo, rho, jnp.full_like(rho, jnp.inf),
+         jnp.int32(0), jnp.zeros((C,), jnp.int32)))
+
+    return RefinedSolveResult(
+        x=x_hi + x_lo, x_hi=x_hi, x_lo=x_lo,
+        iters=iters, converged=rho < stop2)
+
+
+def dfc_from_c_planes(p: jax.Array) -> DFComplex:
+    """planar f32 [2, 2, Nx, N] -> DFComplex (lo = 0)."""
+    z = jnp.zeros_like(p)
+    return _dfc_planes(p, z)
+
+
+# ---------- per-chain df reductions + Hamiltonian terms (XLA level) ----------
+
+def df_sum_chain(pair, C: int):
+    """Per-chain df sum of a (hi, lo) plane pair [.., Nx, N] -> ([C], [C])."""
+    hi, lo = pair
+
+    def chunks(a):
+        *lead, Nx, N = a.shape
+        a = a.reshape(*lead, Nx, C, N // C)
+        a = jnp.moveaxis(a, -2, 0)
+        return a.reshape(C, -1)
+
+    return jax.vmap(lambda h, l: df_sum_all((h, l)))(chunks(hi), chunks(lo))
+
+
+def kinetic_packed_df(piE: jax.Array, piO: jax.Array, C: int):
+    """0.5 sum pi^2 per chain in df: the squares are exact two_prods."""
+    he, le = df_sum_chain(two_prod(piE, piE), C)
+    ho, lo = df_sum_chain(two_prod(piO, piO), C)
+    s = df_add((he, le), (ho, lo))
+    return 0.5 * s[0], 0.5 * s[1]           # *0.5 exact in f32
+
+
+def norm2_packed_df(p: jax.Array, C: int):
+    """sum |z|^2 per chain in df for a planar field [2, 2, Nx, N]."""
+    h, l = df_sum_chain(two_prod(p, p), C)
+    return h, l
+
+
+def dot_re_packed_df(a_p: jax.Array, x_hi: jax.Array, x_lo: jax.Array,
+                     C: int):
+    """Per-chain Re<a, x> with a exact f32 planar and x a df planar pair
+    (solvers/dfloat.df_dot_re on the packed layout)."""
+    from schwingermodel_tpu.solvers.dfloat import df_mul
+
+    prod = df_mul((a_p, jnp.zeros_like(a_p)), (x_hi, x_lo))
+    return df_sum_chain(prod, C)
+
+
+def gauge_action_packed_df(thE: jax.Array, thO: jax.Array, beta: float,
+                           C: int, Nth: int):
+    """beta * sum(1 - cos th_P) per chain in df from packed angle planes
+    (the packed twin of ops/eo_df.gauge_action_df). Returns a [C] df pair.
+    """
+    from schwingermodel_tpu.solvers.dfloat import (
+        _opaque, df_fold_2pi, df_sincos, df_sub, two_sum,
+    )
+
+    Nx, N = thE.shape[-2:]
+    mask_e, mask_o = pt.parity_masks(Nx)
+    sp, sm = pt.lane_tshifts(N, Nth)
+
+    def shift_px(a):
+        return jnp.concatenate([a[..., 1:, :], a[..., :1, :]], axis=-2)
+
+    def plaq_summand(th_p, th_q, mask_p):
+        # th_P(n) = th0_p(n) + th1_q(n+t) - th0_q(n+x) - th1_p(n), n in p
+        t1q_pt = pt._g_pt(th_q[1], mask_p, sp)
+        t0q_px = shift_px(th_q[0])
+        s, e = two_sum(th_p[0], t1q_pt)
+        s2, e2 = two_sum(s, -t0q_px)
+        s3, e3 = two_sum(s2, -th_p[1])
+        _, cos_a = df_sincos(*df_fold_2pi(s3, e + e2 + e3))
+        one = (_opaque(jnp.ones_like(cos_a[0])), jnp.zeros_like(cos_a[0]))
+        return df_sub(one, cos_a)
+
+    se = df_sum_chain(plaq_summand(thE, thO, mask_e), C)
+    so = df_sum_chain(plaq_summand(thO, thE, mask_o), C)
+    s = df_add(se, so)
+    from schwingermodel_tpu.solvers.dfloat import _df_const, df_mul
+
+    total = df_mul(s, _df_const(float(beta)))
+    return total

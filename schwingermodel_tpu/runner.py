@@ -84,6 +84,33 @@ def _traj_fn(model: SchwingerModel, mesh) -> Callable:
     return partial(sampler.hmc_trajectory, model)
 
 
+def _packed_traj_adapter(model: SchwingerModel) -> Callable:
+    """Trajectory step on the lane-packed fused path (hmc/packed.py) behind
+    the standard (theta, keys) -> (theta', stats) interface.
+
+    theta stays FULL-lattice at the interface (observables, checkpointing
+    and ill-config capture are unchanged); the per-trajectory pack/unpack
+    of the four angle planes is ~1% of a trajectory, vs the per-SOLVE
+    repacking the unpacked path pays 11x per trajectory. Noise is drawn
+    from the same per-chain keys as the vmapped path, so the Markov chain
+    sees the same noise stream."""
+    from schwingermodel_tpu.hmc import packed as hp
+
+    def step(theta, keys, dt=None):
+        single = theta.ndim == 3
+        th_b = theta[None] if single else theta
+        keys_b = keys.reshape((1,) + keys.shape) if single else keys
+        th2, st = hp.hmc_trajectory_packed(
+            model, hp.pack_theta(model, th_b), keys_b, dt=dt)
+        out = hp.unpack_theta(model, th2, th_b.shape[0])
+        if single:
+            out = out[0]
+            st = jax.tree.map(lambda a: a[0], st)
+        return out, st
+
+    return step
+
+
 def _measure(model: SchwingerModel, theta, key, with_condensate: bool,
              n_noise: int):
     out = {
@@ -185,10 +212,24 @@ def run_hmc(
         hmc = hmc_tuned
         model = SchwingerModel(lattice=lattice, hmc=hmc)
 
-    traj = _traj_fn(model, mesh)
-    if n_chains > 1 and not chain_sharded:
-        traj = jax.vmap(traj)
-    # (chain_sharded: the shard_map step consumes the chain batch itself)
+    from schwingermodel_tpu.hmc import packed as hp
+
+    # refined mode's df kernels need a backend whose compiler preserves
+    # error-free transforms (TPU; XLA:CPU contracts FMAs) -- elsewhere the
+    # refined runs keep the standard path with the x64 impl
+    use_packed = (mesh is None and hp.packed_supported(model)
+                  and (not model.hmc.cg.refine
+                       or jax.default_backend() == "tpu"))
+    if use_packed:
+        # lane-packed fused trajectory (one Pallas kernel per MD force
+        # step; hmc/packed.py) -- the fast path for unsharded even-odd f32
+        # runs, both solver contracts
+        traj = _packed_traj_adapter(model)
+    else:
+        traj = _traj_fn(model, mesh)
+        if n_chains > 1 and not chain_sharded:
+            traj = jax.vmap(traj)
+    # (chain_sharded/packed: the step consumes the chain batch itself)
 
     def keys_for(start: int, n: int):
         """Per-trajectory keys [n] (or [n, n_chains]) from the run key."""

@@ -59,6 +59,34 @@ def _df_const(x: float) -> Tuple[jax.Array, jax.Array]:
 
 # ---------- error-free transforms ----------
 
+import contextlib as _contextlib
+import threading as _threading
+
+_barrier_state = _threading.local()
+
+
+def _barriers_on() -> bool:
+    return getattr(_barrier_state, "on", True)
+
+
+@_contextlib.contextmanager
+def unsafe_no_barriers():
+    """Trace df arithmetic WITHOUT optimization barriers.
+
+    For Pallas kernel bodies only: Mosaic cannot lower
+    `optimization_barrier` (and, unlike XLA's algebraic simplifier, has
+    not been observed to rewrite the EFT identities -- the on-device
+    oracle tests in tests_tpu/ assert the resulting df accuracy against
+    host float64, which would fail loudly if Mosaic ever zeroed the error
+    terms). Never use for XLA-level df code."""
+    prev = getattr(_barrier_state, "on", True)
+    _barrier_state.on = False
+    try:
+        yield
+    finally:
+        _barrier_state.on = prev
+
+
 def _eft_guard(x):
     """Hide an EFT intermediate from XLA's algebraic simplifier.
 
@@ -68,6 +96,8 @@ def _eft_guard(x):
     captured rounding error (observed under jit on both CPU and TPU;
     tests/test_dfloat.py locks the jitted accuracy). One barrier on the
     first rounded intermediate per transform stops every such rewrite."""
+    if not _barriers_on():
+        return x
     return jax.lax.optimization_barrier(x)
 
 
@@ -233,6 +263,8 @@ def _opaque(x):
     jit of two_sum(1.0, p) loses the lo part; with the barrier it is exact,
     tests/test_dfloat.py). Every constant that enters a two_sum chain must
     pass through here. Runtime values are never rewritten."""
+    if not _barriers_on():
+        return x
     return jax.lax.optimization_barrier(x)
 
 

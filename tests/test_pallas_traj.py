@@ -194,6 +194,96 @@ def test_packed_trajectory_matches_standard(rng, integrator):
                                rtol=0, atol=2e-4)
 
 
+OPT0 = {"xla_backend_optimization_level": "0"}
+jit0 = partial(jax.jit, compiler_options=OPT0)
+
+
+def _model32_refined(Nx=8, Nt=8, m0=0.1, beta=2.0):
+    from schwingermodel_tpu.config import CGParams
+
+    return SchwingerModel(
+        lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32"),
+        hmc=HMCParams(beta=beta, m0=m0, even_odd=True, md_steps=6,
+                      trajectory_length=0.6,
+                      cg=CGParams(tol=1e-10, max_iter=2000, refine=True,
+                                  refine_impl="x64")),
+    )
+
+
+def test_df_lanes_normal_matches_c128(rng):
+    """EODFLanes (the df kernel's math, run directly as jnp -- the
+    interpret-mode pallas inlining of the df arithmetic produces a jaxpr
+    XLA:CPU takes hours to compile, so the kernel wrapper itself is
+    asserted in the TPU tier, tests_tpu/) == b - A x in complex128."""
+    from schwingermodel_tpu.ops import pallas_df as pdf
+    from schwingermodel_tpu.solvers.dfloat import dfc_sub
+
+    model = _model32_refined()
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _rand_theta(rng, C, Nx, Nt, scale=2 * np.pi)  # incl. MD drift
+    x = jnp.asarray(rng.standard_normal((C, 2, Nx, Nth))
+                    + 1j * rng.standard_normal((C, 2, Nx, Nth)), jnp.complex64)
+    b = jnp.asarray(rng.standard_normal((C, 2, Nx, Nth))
+                    + 1j * rng.standard_normal((C, 2, Nx, Nth)), jnp.complex64)
+
+    E, O = pt.pack_chains(model.geom, theta)
+    xp = pt.pack_even(x)
+    bp = pt.pack_even(b)
+
+    def resid(E, O, bp, xp):
+        ops = pdf.EODFLanes(E, O, 0.1, Nth)
+        r = dfc_sub(pdf.dfc_from_c_planes(bp),
+                    ops.normal(pdf.dfc_from_c_planes(xp)))
+        return pdf._planes_dfc(r)
+
+    # eager: EFTs hold per-op without opt-level-0, and the df jaxpr is too
+    # large for XLA:CPU's unoptimized LLVM path (hour-scale compiles)
+    with jax.disable_jit():
+        r_hi, r_lo = resid(E, O, bp, xp)
+    got = np.asarray(pt.unpack_even(r_hi, C), np.complex128) \
+        + np.asarray(pt.unpack_even(r_lo, C), np.complex128)
+
+    def ref_one(th, xx, bb):
+        ops_hi = eo.EOOperators(model.geom, model.fermion_links_hi(th),
+                                model.hmc.m0)
+        return bb.astype(jnp.complex128) - ops_hi.normal(
+            xx.astype(jnp.complex128))
+
+    ref = np.asarray(jax.vmap(ref_one)(theta, x, b))
+    assert np.abs(got - ref).max() < 1e-11 * max(np.abs(ref).max(), 1.0)
+
+
+@pytest.mark.slow
+def test_packed_df_hamiltonian_terms_match_f64(rng):
+    """The packed df Hamiltonian terms (kinetic, gauge action, dots) match
+    f64 references (the full refined solve/trajectory run on the TPU tier;
+    see test_df_lanes_normal_matches_c128 for why not interpret here)."""
+    import schwingermodel_tpu.ops.gauge as gops
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    model = _model32_refined()
+    C, Nx, Nt, Nth = 3, 8, 8, 4
+    theta = _rand_theta(rng, C, Nx, Nt, scale=2 * np.pi)
+    pi = jnp.asarray(rng.standard_normal((C, 2, Nx, Nt)), jnp.float32)
+    E, O = pt.pack_chains(model.geom, theta)
+    piE, piO = pt.pack_chains(model.geom, pi)
+
+    kin_h, kin_l = jit0(partial(pdf.kinetic_packed_df, C=C))(piE, piO)
+    ref_kin = 0.5 * np.sum(np.asarray(pi, np.float64) ** 2, axis=(1, 2, 3))
+    np.testing.assert_allclose(
+        np.asarray(kin_h, np.float64) + np.asarray(kin_l, np.float64),
+        ref_kin, rtol=1e-12)
+
+    sg_h, sg_l = jit0(partial(
+        pdf.gauge_action_packed_df, beta=2.7, C=C, Nth=Nth))(E, O)
+    ref_sg = jax.vmap(lambda t: gops.gauge_action(
+        model.geom, gops.links(t.astype(jnp.float64), jnp.complex128),
+        2.7))(theta)
+    np.testing.assert_allclose(
+        np.asarray(sg_h, np.float64) + np.asarray(sg_l, np.float64),
+        np.asarray(ref_sg), rtol=1e-10)
+
+
 @pytest.mark.slow
 def test_packed_chain_detailed_balance(rng):
     """<exp(-dH)> = 1 over a short packed multi-chain run (8x8, f32)."""

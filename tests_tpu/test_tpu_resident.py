@@ -43,12 +43,42 @@ def _model(refine=False, tol=None, Nx=8, Nt=8):
 
 
 def _theta(rng, shape=(2, 8, 8)):
-    return jnp.asarray(rng.uniform(-np.pi, np.pi, shape), jnp.float32)
+    # dtype conversion must happen host-side: an eager on-device convert
+    # (or any eager primitive) is unsupported by this tunneled backend
+    return jnp.asarray(np.asarray(
+        rng.uniform(-np.pi, np.pi, shape), np.float32))
+
+
+def _thetas(rng, C, shape=(2, 8, 8)):
+    # one host-side stack + one transfer (eager device stacks are
+    # unsupported here)
+    return jnp.asarray(np.asarray(
+        rng.uniform(-np.pi, np.pi, (C,) + shape), np.float32))
 
 
 def _spinor(rng, shape):
-    return jnp.asarray(rng.standard_normal(shape)
-                       + 1j * rng.standard_normal(shape), jnp.complex64)
+    re = jnp.asarray(np.asarray(rng.standard_normal(shape), np.float32))
+    im = jnp.asarray(np.asarray(rng.standard_normal(shape), np.float32))
+    return jax.jit(jax.lax.complex)(re, im)
+
+
+
+# this backend cannot transfer complex arrays host<->device; split into
+# f32 planes on the right side of the wire
+@jax.jit
+def _split_ri(z):
+    return jnp.real(z), jnp.imag(z)
+
+
+def to_host_c(z) -> np.ndarray:
+    re, im = _split_ri(z)
+    return np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+
+
+def to_dev_c(a: np.ndarray):
+    re = jnp.asarray(np.asarray(a.real, np.float32))
+    im = jnp.asarray(np.asarray(a.imag, np.float32))
+    return jax.jit(jax.lax.complex)(re, im)
 
 
 # ---------- numpy float64 EO oracle (independent of all jax code) ----------
@@ -95,12 +125,10 @@ def _np_eo_normal(U, v_e, m0):
 
 
 def _np_links(theta, Nt):
-    """f64 antiperiodic-folded links from the exact f32 angles."""
-    th = np.asarray(theta, np.float64)
-    U = np.exp(1j * th)
-    t = np.arange(Nt)
-    U[0, :, :] *= np.where(t == Nt - 1, -1.0, 1.0)
-    return U
+    """f64 PLAIN links from the exact f32 angles (dirac_ref applies the
+    antiperiodic time signs itself -- do not fold them here)."""
+    del Nt
+    return np.exp(1j * np.asarray(theta, np.float64))
 
 
 # ---------- the tests ----------
@@ -113,17 +141,29 @@ def test_eft_selfcheck_true_on_tpu():
 def test_fused_kernel_matches_jnp_cg(rng):
     model = _model()
     theta = _theta(rng)
-    ops = model.eo_ops(theta)
-    b = ops.dhat(_spinor(rng, (2, 8, 4)))
-    res = cg_solve_eo_fused(ops.Ue, ops.Uo, b, b, m0=0.1, tol=1e-6,
+    v = _spinor(rng, (2, 8, 4))
+
+    @jax.jit
+    def setup(th, vv):
+        ops = model.eo_ops(th)
+        return ops.Ue, ops.Uo, ops.dhat(vv)
+
+    Ue, Uo, b = setup(theta, v)
+    res = cg_solve_eo_fused(Ue, Uo, b, b, m0=0.1, tol=1e-6,
                             max_iter=4000, interpret=False)
     assert bool(res.converged)
     # jnp CG reference on the same device
     from schwingermodel_tpu.solvers.cg import cg_solve
 
-    ref = cg_solve(ops.normal, b, model._dot_re, tol=1e-6, max_iter=4000)
+    @jax.jit
+    def solve_ref(th, bb):
+        ops = model.eo_ops(th)
+        return cg_solve(ops.normal, bb, model._dot_re, tol=1e-6,
+                        max_iter=4000)
+
+    ref = solve_ref(theta, b)
     assert bool(ref.converged)
-    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+    np.testing.assert_allclose(to_host_c(res.x), to_host_c(ref.x),
                                rtol=0, atol=5e-4)
 
 
@@ -131,21 +171,32 @@ def test_lane_packed_chains_match_single_solves(rng):
     """C=8 lane-packed kernel == 8 independent single-kernel solves."""
     model = _model()
     C = 8
-    thetas = jnp.stack([_theta(rng) for _ in range(C)])
-    Uf = jax.vmap(model.fermion_links)(thetas)
-    Ue = jax.vmap(lambda u: eo.pack(model.geom, u, eo.EVEN))(Uf)
-    Uo = jax.vmap(lambda u: eo.pack(model.geom, u, eo.ODD))(Uf)
+    thetas = _thetas(rng, C)
+
+    @jax.jit
+    def setup(th):
+        Uf = jax.vmap(model.fermion_links)(th)
+        Ue = jax.vmap(lambda u: eo.pack(model.geom, u, eo.EVEN))(Uf)
+        Uo = jax.vmap(lambda u: eo.pack(model.geom, u, eo.ODD))(Uf)
+        return Ue, Uo
+
+    Ue, Uo = setup(thetas)
     b = _spinor(rng, (C, 2, 8, 4))
 
     packed = jax.jit(jax.vmap(
         lambda ue, uo, bb: cg_solve_eo_fused(
             ue, uo, bb, bb, m0=0.1, tol=1e-6, max_iter=4000)))(Ue, Uo, b)
     assert bool(jnp.all(packed.converged))
+    # host copies first: eager device indexing is unsupported on this
+    # backend (compiled programs only)
+    px = to_host_c(packed.x)
+    Ue_h, Uo_h, b_h = to_host_c(Ue), to_host_c(Uo), to_host_c(b)
     for c in range(C):
-        single = cg_solve_eo_fused(Ue[c], Uo[c], b[c], b[c], m0=0.1,
-                                   tol=1e-6, max_iter=4000)
-        np.testing.assert_allclose(np.asarray(packed.x[c]),
-                                   np.asarray(single.x),
+        single = cg_solve_eo_fused(
+            to_dev_c(Ue_h[c]), to_dev_c(Uo_h[c]),
+            to_dev_c(b_h[c]), to_dev_c(b_h[c]), m0=0.1,
+            tol=1e-6, max_iter=4000)
+        np.testing.assert_allclose(px[c], to_host_c(single.x),
                                    rtol=0, atol=5e-4)
 
 
@@ -154,8 +205,8 @@ def test_refined_solve_true_residual_on_device(rng):
     measured in host numpy f64 with an independent operator."""
     model = _model(refine=True)
     theta = _theta(rng)
-    ops = model.eo_ops(theta)
-    b = ops.dhat(_spinor(rng, (2, 8, 4)))
+    v = _spinor(rng, (2, 8, 4))
+    b = jax.jit(lambda th, vv: model.eo_ops(th).dhat(vv))(theta, v)
 
     res, x_df = jax.jit(
         lambda th, bb: model._solve_eo_refined(th, model.eo_ops(th), bb)
@@ -166,10 +217,10 @@ def test_refined_solve_true_residual_on_device(rng):
            + np.asarray(x_df.re[1], np.float64)
            + 1j * (np.asarray(x_df.im[0], np.float64)
                    + np.asarray(x_df.im[1], np.float64)))
-    U = _np_links(theta, 8)
-    r = _np_eo_normal(U, x64, 0.1) - np.asarray(b, np.complex128)
-    rel = np.linalg.norm(r.ravel()) / np.linalg.norm(
-        np.asarray(b, np.complex128).ravel())
+    U = _np_links(np.asarray(theta), 8)
+    b_h = to_host_c(b)
+    r = _np_eo_normal(U, x64, 0.1) - b_h
+    rel = np.linalg.norm(r.ravel()) / np.linalg.norm(b_h.ravel())
     assert rel < 1e-10, rel
 
 
@@ -182,8 +233,8 @@ def test_packed_trajectory_detailed_balance_on_device(rng):
 
     model = _model()
     C = 8
-    thetas = jnp.stack([_theta(rng) for _ in range(C)])
-    th = hp.pack_theta(model, thetas)
+    thetas = _thetas(rng, C)
+    th = jax.jit(lambda t: hp.pack_theta(model, t))(thetas)
     key = prng.root_key(3)
 
     @partial(jax.jit, static_argnames=("n",))
@@ -201,4 +252,108 @@ def test_packed_trajectory_detailed_balance_on_device(rng):
     assert bool(jnp.all(conv))
     em = float(jnp.mean(e))
     assert 0.8 < em < 1.2, em
+    assert float(jnp.mean(acc)) > 0.5
+
+
+def test_df_residual_kernel_on_device(rng):
+    """The fused df residual kernel (real Mosaic compile) == b - A x
+    measured against the independent numpy f64 oracle."""
+    from schwingermodel_tpu.ops import pallas_traj as pt
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    model = _model(refine=True)
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _thetas(rng, C)
+    x = _spinor(rng, (C, 2, Nx, Nth))
+    b = _spinor(rng, (C, 2, Nx, Nth))
+
+    @jax.jit
+    def go(th, xx, bb):
+        E, O = pt.pack_chains(model.geom, th)
+        xp = pt.pack_even(xx)
+        bp = pt.pack_even(bb)
+        r_hi, r_lo = pdf.df_residual_fused(
+            E, O, bp, jnp.zeros_like(bp), xp, jnp.zeros_like(xp),
+            m0=0.1, Nth=Nth)
+        return pt.unpack_even(r_hi, C), pt.unpack_even(r_lo, C)
+
+    r_hi, r_lo = go(theta, x, b)
+    got = to_host_c(r_hi) + to_host_c(r_lo)
+
+    th_h = np.asarray(theta)
+    x_h, b_h = to_host_c(x), to_host_c(b)
+    for c in range(C):
+        U = _np_links(th_h[c], Nt)
+        ref = b_h[c] - _np_eo_normal(U, x_h[c], 0.1)
+        assert np.abs(got[c] - ref).max() < 1e-11 * max(
+            np.abs(ref).max(), 1.0), c
+
+
+def test_solve_refined_packed_contract_on_device(rng):
+    """The packed 1e-10-contract solve on the chip: true residual checked
+    against the independent numpy f64 oracle."""
+    from schwingermodel_tpu.ops import pallas_traj as pt
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    model = _model(refine=True)
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _thetas(rng, C)
+    v = _spinor(rng, (C, 2, Nx, Nth))
+
+    @jax.jit
+    def go(th, vv):
+        phi = jax.vmap(lambda t, w: model.eo_ops(t).dhat(w))(th, vv)
+        E, O = pt.pack_chains(model.geom, th)
+        phi_p = pt.pack_even(phi)
+        sol = pdf.solve_refined_packed(
+            E, O, phi_p, phi_p, m0=0.1, tol=1e-10, inner_tol=1e-5,
+            max_iter=2000, max_outer=8, Nth=Nth)
+        return (phi, pt.unpack_even(sol.x_hi, C),
+                pt.unpack_even(sol.x_lo, C), sol.converged)
+
+    phi, x_hi, x_lo, conv = go(theta, v)
+    assert bool(jnp.all(conv))
+    x128 = to_host_c(x_hi) + to_host_c(x_lo)
+    th_h = np.asarray(theta)
+    phi_h = to_host_c(phi)
+    for c in range(C):
+        U = _np_links(th_h[c], Nt)
+        r = _np_eo_normal(U, x128[c], 0.1) - phi_h[c]
+        rel = np.linalg.norm(r.ravel()) / np.linalg.norm(phi_h[c].ravel())
+        assert rel < 1e-10, (c, rel)
+
+
+def test_packed_refined_trajectory_on_device(rng):
+    """The refined packed trajectory (the shipped contract's fast path):
+    runs, converges, and satisfies <exp(-dH)> ~ 1 over a short chain."""
+    from functools import partial
+
+    import dataclasses
+
+    from schwingermodel_tpu.hmc import packed as hp
+
+    model = _model(refine=True)
+    model = dataclasses.replace(
+        model, hmc=dataclasses.replace(
+            model.hmc, md_steps=6, trajectory_length=0.6))
+    C = 4
+    thetas = _thetas(rng, C)
+    th = jax.jit(lambda t: hp.pack_theta(model, t))(thetas)
+    key = prng.root_key(9)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(th, k0, n):
+        def body(carry, i):
+            th = carry
+            keys = jax.vmap(lambda c: jax.random.fold_in(
+                prng.trajectory_key(k0, i), c))(jnp.arange(C))
+            th, st = hp.hmc_trajectory_packed(model, th, keys)
+            return th, (st.exp_mdH, st.accepted, st.cg_converged)
+        return jax.lax.scan(body, th, jnp.arange(n))
+
+    th, _ = block(th, key, 25)
+    th, (e, acc, conv) = block(th, jax.random.fold_in(key, 1), 60)
+    assert bool(jnp.all(conv))
+    em = float(jnp.mean(e))
+    assert 0.7 < em < 1.3, em
     assert float(jnp.mean(acc)) > 0.5
