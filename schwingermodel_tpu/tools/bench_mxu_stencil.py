@@ -155,24 +155,35 @@ def main(argv=None) -> int:
     b = jnp.asarray(np.asarray(
         rng.standard_normal((2, 2, Nx, C * Nth)), np.float32))
 
+    REP = 50
+    bs = jnp.asarray(np.asarray(
+        rng.standard_normal((REP, 2, 2, Nx, C * Nth)), np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def run_all(thE, thO, bs, variant):
+        # all REP solves in ONE device program: the tunneled backend costs
+        # ~15 ms per un-pipelined dispatch, which would otherwise dominate
+        def body(carry, bb):
+            x, it, rho, bn = solve_variant(
+                thE, thO, bb, bb, m0=0.2, tol=1e-6, max_iter=300,
+                Nth=Nth, variant=variant)
+            return carry, jnp.max(it)
+        _, its = jax.lax.scan(body, 0, bs)
+        return jnp.sum(its), its[0]
+
     rows = []
     for variant in ("vpu", "mxu_xshift"):
-        x, it, rho, bn = solve_variant(
-            thE, thO, b, b, m0=0.2, tol=1e-6, max_iter=300, Nth=Nth,
-            variant=variant)
-        lockstep = int(jnp.max(it))
+        tot, first = run_all(thE, thO, bs, variant)
+        float(tot)                                # compile + warm
         t0 = time.perf_counter()
-        REP = 30
-        for _ in range(REP):
-            x, it, rho, bn = solve_variant(
-                thE, thO, b, b, m0=0.2, tol=1e-6, max_iter=300, Nth=Nth,
-                variant=variant)
-        float(jnp.sum(it))
+        tot, first = run_all(thE, thO, bs, variant)
+        total_iters = float(tot)                  # readback fence
         dt = time.perf_counter() - t0
-        us = dt / REP / lockstep * 1e6
+        us = dt / total_iters * 1e6
         row = {"metric": "cg_us_per_lockstep_iter", "variant": variant,
                "value": round(us, 3), "unit": "us/iter",
-               "lockstep_iters": lockstep, "shape": f"{Nx}x{Nt} C={C}"}
+               "lockstep_iters": int(float(first)),
+               "shape": f"{Nx}x{Nt} C={C}"}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
