@@ -134,6 +134,7 @@ def test_full_d_reversibility(rng):
     np.testing.assert_allclose(np.asarray(-pi0), np.asarray(pi), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_omelyan_beats_leapfrog_at_equal_force_budget():
     """2MN with md_steps=5 (10 force evals, full tau) vs leapfrog
     md_steps=11 (10 force evals, tau*10/11 effective): |dH| must be

@@ -234,8 +234,10 @@ def test_gauge_action_df_drifted_matches_f64():
     S64 = float(gops.gauge_action(
         model.geom, gops.links(theta.astype(jnp.float64), jnp.complex128),
         2.7))
-    Sdf = float(jit0(
-        lambda t: eo_df.gauge_action_df(model.geom, t, 2.7))(theta))
+    # eager: EFTs hold per-op, and the opt-level-0 compile of this jaxpr
+    # is pathological on XLA:CPU (~4 min; see cpu notes in test_pallas_traj)
+    with jax.disable_jit():
+        Sdf = float(eo_df.gauge_action_df(model.geom, theta, 2.7))
     assert abs(Sdf - S64) < 1e-6 * abs(S64)
 
 
@@ -248,8 +250,8 @@ def test_gauge_action_df_matches_f64():
     S64 = float(gops.gauge_action(
         model.geom, gops.links(theta.astype(jnp.float64), jnp.complex128),
         2.7))
-    Sdf = float(jit0(
-        lambda t: eo_df.gauge_action_df(model.geom, t, 2.7))(theta))
+    with jax.disable_jit():
+        Sdf = float(eo_df.gauge_action_df(model.geom, theta, 2.7))
     assert abs(Sdf - S64) < 1e-6 * abs(S64)
 
 
