@@ -193,14 +193,24 @@ def run_hmc(
         from schwingermodel_tpu.hmc import autotune as at
 
         tune_traj = None
+        tune_packed = False
         if mesh is not None:
             s = _traj_fn(model, mesh)
             tune_traj = lambda th, k, dt: s(th, k, dt=dt)
+        else:
+            from schwingermodel_tpu.hmc import packed as hp_
+
+            tune_packed = (hp_.packed_supported(model)
+                           and (not model.hmc.cg.refine
+                                or jax.default_backend() == "tpu"))
+            if tune_packed:
+                s = _packed_traj_adapter(model)
+                tune_traj = lambda th, k, dt: s(th, k, dt=dt)
         n_tune = min(run.n_tune, run.n_therm) if run.n_therm else run.n_tune
         theta, hmc_tuned, tuned_eps = at.autotune(
             model, theta, jax.random.fold_in(k_run, 0x7E0E),
             n_tune=n_tune, target=run.tune_target, traj_fn=tune_traj,
-            traj_handles_chains=chain_sharded,
+            traj_handles_chains=chain_sharded or tune_packed,
         )
         n_therm_left = max(0, run.n_therm - n_tune)
         if hmc_tuned.md_steps != hmc.md_steps:

@@ -90,7 +90,8 @@ def compare_point(ref: dict, args) -> dict:
         "ref_acceptance": p_r, "acceptance": p_o,
         "n_sigma_acc": dev_acc / sig_acc if sig_acc else float("inf"),
         "pass_Ep": dev <= args.n_sigma * sig,
-        "pass_acc": dev_acc <= args.n_sigma_acc * sig_acc,
+        "pass_acc": (dev_acc <= args.n_sigma_acc * sig_acc
+                     or getattr(args, "plaquette_only", False)),
         "seconds": res.elapsed_seconds,
         "nmeas": nmeas, "chains": args.chains, "dtype": dtype,
         "refine": args.refine, "even_odd": args.even_odd,
@@ -121,6 +122,11 @@ def main(argv=None) -> int:
                         "Default OFF: acceptance is an ALGORITHM property "
                         "and only comparable to the reference with its "
                         "full-D pseudofermion action")
+    p.add_argument("--plaquette-only", action="store_true",
+                   help="gate only the plaquette (use with --even-odd: "
+                        "acceptance is an algorithm property of the FULL-D "
+                        "action and is not comparable under the Schur-"
+                        "preconditioned pseudofermions)")
     p.add_argument("--n-sigma", type=float, default=2.0)
     p.add_argument("--n-sigma-acc", type=float, default=3.0,
                    help="acceptance gate (binomial, autocorrelation slack)")

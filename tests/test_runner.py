@@ -140,3 +140,19 @@ def test_runner_packed_fast_path():
     assert 0.4 < res.Ep < 0.95
     assert np.isfinite(res.dEp)
     assert np.asarray(res.chains["plaquette"]).size == 16
+
+
+@pytest.mark.slow
+def test_runner_packed_autotune():
+    """Autotune warmup rides the packed fast path too (dt is a traced
+    override of the packed trajectory)."""
+    from schwingermodel_tpu.config import CGParams
+
+    lat32 = LatticeParams(Nx=8, Nt=8, real_dtype="float32")
+    hmc32 = HMCParams(beta=2.0, m0=0.1, md_steps=4, trajectory_length=0.6,
+                      even_odd=True, cg=CGParams(tol=1e-6, max_iter=2000))
+    res = run_hmc(lat32, hmc32,
+                  RunParams(n_therm=8, n_meas=4, n_chains=2, seed=5,
+                            autotune=True, n_tune=6))
+    assert res.acceptance_rate > 0.3
+    assert np.isfinite(res.Ep)
