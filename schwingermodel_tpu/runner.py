@@ -78,8 +78,16 @@ class RunResult:
 
 def _traj_fn(model: SchwingerModel, mesh) -> Callable:
     if mesh is not None:
-        from schwingermodel_tpu.parallel.sharded import make_sharded_traj_fn
+        from schwingermodel_tpu.parallel.sharded import (
+            chain_packed_supported,
+            make_chain_sharded_packed_traj_fn,
+            make_sharded_traj_fn,
+        )
 
+        if chain_packed_supported(model, mesh):
+            # chain-only decomposition: the fused packed trajectory runs
+            # per device group at full kernel speed, zero collectives
+            return make_chain_sharded_packed_traj_fn(model, mesh)
         return make_sharded_traj_fn(model, mesh)
     return partial(sampler.hmc_trajectory, model)
 

@@ -188,7 +188,10 @@ def _chain_scaling_worker(args) -> int:
     from schwingermodel_tpu.models.schwinger import SchwingerModel
     from schwingermodel_tpu.parallel import multihost
     from schwingermodel_tpu.parallel.sharded import (
-        make_sharded_traj_fn, theta_sharding,
+        chain_packed_supported,
+        make_chain_sharded_packed_traj_fn,
+        make_sharded_traj_fn,
+        theta_sharding,
     )
     from schwingermodel_tpu.utils import prng
     from schwingermodel_tpu.utils.cache import enable_compilation_cache
@@ -211,7 +214,10 @@ def _chain_scaling_worker(args) -> int:
                                minval=-jnp.pi, maxval=jnp.pi,
                                dtype=lat.rdtype)
     theta = jax.device_put(theta, theta_sharding(mesh))
-    traj = make_sharded_traj_fn(model, mesh)
+    if chain_packed_supported(model, mesh):
+        traj = make_chain_sharded_packed_traj_fn(model, mesh)
+    else:
+        traj = make_sharded_traj_fn(model, mesh)
 
     @jax.jit
     def block(th, k0, idx):

@@ -308,3 +308,39 @@ def test_packed_chain_detailed_balance(rng):
     em = float(jnp.mean(e))
     assert 0.7 < em < 1.3, em
     assert float(jnp.mean(acc)) > 0.5
+
+
+def test_chain_sharded_packed_matches_vmapped(rng):
+    """The packed fused trajectory under shard_map over a chain-only mesh
+    (the multihost DCN layout) == the same chains run unsharded, with the
+    same per-chain keys."""
+    from schwingermodel_tpu.parallel.mesh import lattice_mesh
+    from schwingermodel_tpu.parallel.sharded import (
+        chain_packed_supported,
+        make_chain_sharded_packed_traj_fn,
+    )
+
+    model = _model32()
+    C, Nx, Nt = 4, 8, 8
+    theta = _rand_theta(rng, C, Nx, Nt)
+    keys = jax.vmap(lambda i: prng.trajectory_key(prng.root_key(31), i))(
+        jnp.arange(C))
+
+    # unsharded packed reference
+    th_ref, st_ref = hp.hmc_trajectory_packed(
+        model, hp.pack_theta(model, theta), keys)
+    th_ref_full = hp.unpack_theta(model, th_ref, C)
+
+    mesh = lattice_mesh((2, 1, 1))
+    assert chain_packed_supported(model, mesh)
+    step = jax.jit(make_chain_sharded_packed_traj_fn(model, mesh))
+    th_sh, st_sh = step(theta, keys)
+
+    np.testing.assert_allclose(np.asarray(th_sh), np.asarray(th_ref_full),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_sh.accepted),
+                                  np.asarray(st_ref.accepted))
+    np.testing.assert_allclose(np.asarray(st_sh.delta_H),
+                               np.asarray(st_ref.delta_H),
+                               rtol=0, atol=1e-4)
+    assert bool(jnp.all(st_sh.cg_converged))
