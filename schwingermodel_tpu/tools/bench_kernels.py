@@ -117,7 +117,9 @@ def main(argv=None) -> int:
             return jnp.real(jnp.sum(y))
         return f
 
-    s = slope(make_dirac, 200, 1200, theta, v_full)
+    # wide slope window: the per-apply time (~1 us) must integrate well
+    # past the tunnel's ~ms dispatch jitter or the difference goes negative
+    s = slope(make_dirac, 1000, 21000, theta, v_full)
     emit("dirac_apply_us", s * 1e6, "us/apply")
     emit("dirac_apply_gflops", Nx * Nt * DIRAC_FLOPS_PER_SITE / s / 1e9,
          "GFLOP/s")
@@ -138,7 +140,7 @@ def main(argv=None) -> int:
             return jnp.real(jnp.sum(y))
         return f
 
-    s = slope(make_eo, 200, 1200, theta, v_eo)
+    s = slope(make_eo, 1000, 11000, theta, v_eo)
     emit("eo_normal_apply_us", s * 1e6, "us/apply")
     emit("eo_normal_gflops", Nx * Nt * EO_NORMAL_FLOPS_PER_SITE / s / 1e9,
          "GFLOP/s")
