@@ -54,6 +54,15 @@ def packed_supported(model: SchwingerModel) -> bool:
     )
 
 
+def packed_eligible(model: SchwingerModel) -> bool:
+    """packed_supported AND the refinement-backend constraint: the packed
+    refined mode's df kernels need a compiler that preserves error-free
+    transforms (TPU; XLA:CPU contracts FMAs). The single gate used by the
+    runner, the tune warmup, and the chain-sharded path."""
+    return packed_supported(model) and (
+        not model.hmc.cg.refine or jax.default_backend() == "tpu")
+
+
 def pack_theta(model: SchwingerModel, theta: jax.Array) -> PackedTheta:
     """[C, 2, Nx, Nt] (or [2, Nx, Nt] for C=1) -> packed planes."""
     if theta.ndim == 3:
@@ -111,7 +120,7 @@ def trajectory_packed_given_noise(
     # --- old Hamiltonian (sampler: exact S_f_old = |chi|^2) ---
     if refined:
         from schwingermodel_tpu.ops import pallas_df as pdf
-        from schwingermodel_tpu.solvers.dfloat import df_add, df_sub
+        from schwingermodel_tpu.solvers.dfloat import df_add
 
         kin_df = pdf.kinetic_packed_df(piE, piO, C)
         sg_df = pdf.gauge_action_packed_df(th.E, th.O, beta, C, Nth)
@@ -272,7 +281,6 @@ def hmc_trajectory_packed(model: SchwingerModel, th: PackedTheta,
     chain, then packed -- statistically identical to the vmapped sampler)."""
     C = _n_chains(model, th)
     Nx, Nt = model.lattice.Nx, model.lattice.Nt
-    del C
     pi, chi, r = jax.vmap(
         lambda k: draw_noise(model, (2, Nx, Nt), k))(keys)
     piE, piO = pt.pack_chains(model.geom, pi)

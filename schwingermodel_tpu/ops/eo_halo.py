@@ -45,9 +45,15 @@ _LOCAL = Geometry()     # roll-shift geometry for the extended block
 
 
 def supported(geom, local_Nx: int, local_Nth: int) -> bool:
-    """True when the width-4 composite fits this shard size."""
-    return (isinstance(geom, ShardedGeometry)
-            and local_Nx >= W and local_Nth >= W)
+    """True when the width-4 composite fits this shard size AND actually
+    saves collectives: on a mesh whose lattice axes are both trivial
+    (e.g. the chain-only multihost layout) the extension is pure local
+    slicing, so the 4-wide redundant-compute skirt would be pure waste."""
+    if not (isinstance(geom, ShardedGeometry)
+            and local_Nx >= W and local_Nth >= W):
+        return False
+    return (lax.axis_size(geom.x_name) > 1
+            or lax.axis_size(geom.t_name) > 1)
 
 
 def _extend_axis(a: jax.Array, axis: int, name: str, w: int) -> jax.Array:

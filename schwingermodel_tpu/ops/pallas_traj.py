@@ -64,11 +64,9 @@ from schwingermodel_tpu.ops.pallas_eo import (
     _cadd,
     _cmul,
     _cmuli,
-    _cmulc,
     _csel,
     _cshift,
     _csub,
-    _dot_re,
     _hop,
     _hop_dag,
     _shift_m_x,

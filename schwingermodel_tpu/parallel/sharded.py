@@ -133,8 +133,7 @@ def chain_packed_supported(model: SchwingerModel, mesh: Mesh) -> bool:
         _has_chain_axis(mesh)
         and mesh.shape[X_AXIS_NAME] == 1
         and mesh.shape[T_AXIS_NAME] == 1
-        and hp.packed_supported(model)
-        and (not model.hmc.cg.refine or jax.default_backend() == "tpu")
+        and hp.packed_eligible(model)
     )
 
 

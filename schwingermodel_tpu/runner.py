@@ -208,9 +208,7 @@ def run_hmc(
         else:
             from schwingermodel_tpu.hmc import packed as hp_
 
-            tune_packed = (hp_.packed_supported(model)
-                           and (not model.hmc.cg.refine
-                                or jax.default_backend() == "tpu"))
+            tune_packed = hp_.packed_eligible(model)
             if tune_packed:
                 s = _packed_traj_adapter(model)
                 tune_traj = lambda th, k, dt: s(th, k, dt=dt)
@@ -232,12 +230,7 @@ def run_hmc(
 
     from schwingermodel_tpu.hmc import packed as hp
 
-    # refined mode's df kernels need a backend whose compiler preserves
-    # error-free transforms (TPU; XLA:CPU contracts FMAs) -- elsewhere the
-    # refined runs keep the standard path with the x64 impl
-    use_packed = (mesh is None and hp.packed_supported(model)
-                  and (not model.hmc.cg.refine
-                       or jax.default_backend() == "tpu"))
+    use_packed = mesh is None and hp.packed_eligible(model)
     if use_packed:
         # lane-packed fused trajectory (one Pallas kernel per MD force
         # step; hmc/packed.py) -- the fast path for unsharded even-odd f32

@@ -77,7 +77,11 @@ def _solve_kernel_variant(the_ref, tho_ref, b_ref, x0_ref,
 
         import schwingermodel_tpu.ops.pallas_eo as pe
 
-        orig_p, orig_m = pe._shift_p_x, pe._shift_m_x
+        # EXPERIMENT-ONLY module-global patch: redirects the shared _hop
+    # helpers' x-shifts during THIS kernel trace. Safe only because this
+    # tool runs standalone in its own process (never import it from
+    # production code; concurrent kernel traces would pick up the patch).
+    orig_p, orig_m = pe._shift_p_x, pe._shift_m_x
         pe._shift_p_x, pe._shift_m_x = shift_p_x, shift_m_x
         try:
             ue, uo = pt.links_from_theta_planes(
