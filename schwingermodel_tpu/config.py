@@ -124,6 +124,11 @@ class HMCParams:
     # always uses the jnp solver. The sharded path always uses the jnp
     # solver (ppermute halos).
     fused_cg: Optional[bool] = None
+    # Lane-packed fused trajectory (hmc/packed.py): the whole MD force step
+    # as one Pallas kernel. None = auto: engage only on a TPU backend (the
+    # kernels run in slow interpret mode elsewhere). True forces it
+    # (interpret mode off-TPU, for tests); False always uses the sampler.
+    packed: Optional[bool] = None
     # MD integrator: "leapfrog" reproduces the reference's position-first
     # scheme (src/hmc.cpp:63-103, MD_steps-1 force evaluations); "omelyan"
     # is the 2nd-order minimum-norm (2MN) scheme of Omelyan/Mryglod/Folk

@@ -55,12 +55,18 @@ def packed_supported(model: SchwingerModel) -> bool:
 
 
 def packed_eligible(model: SchwingerModel) -> bool:
-    """packed_supported AND the refinement-backend constraint: the packed
-    refined mode's df kernels need a compiler that preserves error-free
-    transforms (TPU; XLA:CPU contracts FMAs). The single gate used by the
-    runner, the tune warmup, and the chain-sharded path."""
-    return packed_supported(model) and (
-        not model.hmc.cg.refine or jax.default_backend() == "tpu")
+    """packed_supported AND the backend gate: hmc.packed resolves None (auto)
+    to TPU-only -- off-TPU the kernels run in interpret mode, far slower than
+    the XLA sampler path they would replace -- while True forces the path
+    (tests) and False always defers to the sampler. The single gate used by
+    the runner, the tune warmup, and the chain-sharded path."""
+    if model.hmc.packed is False:
+        return False
+    if not packed_supported(model):
+        return False
+    if model.hmc.packed is None:
+        return jax.default_backend() == "tpu"
+    return True
 
 
 def pack_theta(model: SchwingerModel, theta: jax.Array) -> PackedTheta:

@@ -363,12 +363,9 @@ def gauge_action_df(geom: Geometry, theta, beta: float):
     )
 
     one = (_opaque(jnp.ones_like(cos_a[0])), jnp.zeros_like(cos_a[0]))
-    s_hi, s_lo = df_sum_all(df_sub(one, cos_a))
-    if geom.is_sharded:
-        # cross-shard reduction of the two components; the f32 psum ring
-        # adds ~n_dev * eps relative noise, well under the f32 collapse
-        s_hi = geom.gsum_all(s_hi)
-        s_lo = geom.gsum_all(s_lo)
+    # df-exact cross-shard gather reduction (identity unsharded): keeps the
+    # pair's sub-ulp information across the mesh (geometry.gsum_df)
+    s_hi, s_lo = geom.gsum_df(*df_sum_all(df_sub(one, cos_a)))
     if isinstance(beta, (int, float)):
         total = df_mul((s_hi, s_lo), _df_const(float(beta)))
         return total[0] + total[1]

@@ -74,6 +74,13 @@ class Geometry:
         t = lax.broadcasted_iota(jnp.int32, (Nx, Nt), 1)
         return x, t
 
+    def gsum_df(self, hi: jax.Array, lo: jax.Array):
+        """Reduce a per-shard double-float scalar pair (hi, lo) across the
+        lattice mesh at df accuracy. Identity on a single device; see
+        ShardedGeometry (a plain per-component psum would round the hi
+        parts in f32 and lose the sub-ulp information the pair carries)."""
+        return hi, lo
+
     def sync_any(self, pred: jax.Array) -> jax.Array:
         """OR a boolean predicate across *independent* device groups that run
         the same program (the data-parallel chain axis). Identity here; see
@@ -166,6 +173,23 @@ class ShardedGeometry(Geometry):
         x = lax.broadcasted_iota(jnp.int32, (Nx, Nt), 0) + ix * Nx
         t = lax.broadcasted_iota(jnp.int32, (Nx, Nt), 1) + it * Nt
         return x, t
+
+    def gsum_df(self, hi: jax.Array, lo: jax.Array):
+        """df-exact cross-shard reduction of a double-float pair: all_gather
+        the per-shard (hi, lo) scalars (2 * n_shards floats -- negligible
+        traffic) and tree-combine them with error-free two_sum adds, so the
+        reduced pair is the correctly-rounded df sum of all shard
+        contributions. This is the reduction the 1e-10 dH contract needs on
+        lattice-sharded refined runs; separate f32 psums of hi and lo would
+        cap S_f/kinetic accuracy at f32 grade (uncaptured psum rounding)."""
+        from schwingermodel_tpu.solvers.dfloat import df_sum_all
+
+        hi_g = lax.all_gather(hi, (self.x_name, self.t_name))
+        lo_g = lax.all_gather(lo, (self.x_name, self.t_name))
+        # df_sum_all reduces over ALL axes; per-shard pairs land on the new
+        # leading gather axis while any batch axes must be preserved -- the
+        # callers pass plain scalars, so a flat tree-sum is exact here.
+        return df_sum_all((hi_g, lo_g))
 
 
 def _set_slice(a: jax.Array, val: jax.Array, axis: int, index: int) -> jax.Array:

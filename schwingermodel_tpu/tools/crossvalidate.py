@@ -90,8 +90,12 @@ def compare_point(ref: dict, args) -> dict:
         "ref_acceptance": p_r, "acceptance": p_o,
         "n_sigma_acc": dev_acc / sig_acc if sig_acc else float("inf"),
         "pass_Ep": dev <= args.n_sigma * sig,
-        "pass_acc": (dev_acc <= args.n_sigma_acc * sig_acc
-                     or getattr(args, "plaquette_only", False)),
+        # --plaquette-only (even-odd runs): acceptance is an algorithm
+        # property of the full-D action and is NOT comparable -- record the
+        # column as ungated (null) rather than a vacuous pass
+        "acc_gated": not getattr(args, "plaquette_only", False),
+        "pass_acc": (None if getattr(args, "plaquette_only", False)
+                     else dev_acc <= args.n_sigma_acc * sig_acc),
         "seconds": res.elapsed_seconds,
         "nmeas": nmeas, "chains": args.chains, "dtype": dtype,
         "refine": args.refine, "even_odd": args.even_odd,
@@ -174,8 +178,9 @@ def main(argv=None) -> int:
     for ref in points:
         r = compare_point(ref, args)
         rows.append(r)
-        ok &= r["pass_Ep"] and r["pass_acc"]
-        v = "PASS" if (r["pass_Ep"] and r["pass_acc"]) else "FAIL"
+        acc_ok = r["pass_acc"] if r["acc_gated"] else True
+        ok &= r["pass_Ep"] and acc_ok
+        v = "PASS" if (r["pass_Ep"] and acc_ok) else "FAIL"
         print(f"{r['Nx']}x{r['Nt']:<5} {r['beta']:>5g} {r['m0']:>6g} | "
               f"{r['ref_Ep']:>10.6f} {r['Ep']:>10.6f} {r['n_sigma_Ep']:>5.2f} | "
               f"{r['ref_acceptance']:>8.3f} {r['acceptance']:>8.3f} "
@@ -187,16 +192,23 @@ def main(argv=None) -> int:
     if args.markdown:
         with open(args.markdown, "w") as f:
             f.write("# Cross-validation vs the C++ reference\n\n")
+            acc_note = (
+                "; acceptance columns are informational only (ungated: the "
+                "Schur-preconditioned action's acceptance is not comparable "
+                "to the full-D reference)"
+                if getattr(args, "plaquette_only", False) else
+                f", |Δacc| ≤ {args.n_sigma_acc:g}σ (binomial)")
             f.write(f"Framework: dtype={args.dtype}, refine={args.refine}, "
                     f"even_odd={args.even_odd}, "
                     f"chains={args.chains}, backend={jax.default_backend()}."
-                    f" Gate: |ΔEp| ≤ {args.n_sigma:g}σ (combined jackknife),"
-                    f" |Δacc| ≤ {args.n_sigma_acc:g}σ (binomial).\n\n")
+                    f" Gate: |ΔEp| ≤ {args.n_sigma:g}σ (combined jackknife)"
+                    f"{acc_note}.\n\n")
             f.write("| lattice | β | m0 | Ep (reference) | Ep (this) | nσ | "
                     "acc (ref) | acc (this) | nσ | verdict |\n")
             f.write("|---|---|---|---|---|---|---|---|---|---|\n")
             for r in rows:
-                v = "PASS" if (r["pass_Ep"] and r["pass_acc"]) else "FAIL"
+                acc_ok = r["pass_acc"] if r["acc_gated"] else True
+                v = "PASS" if (r["pass_Ep"] and acc_ok) else "FAIL"
                 f.write(f"| {r['Nx']}x{r['Nt']} | {r['beta']:g} | {r['m0']:g} "
                         f"| {r['ref_Ep']:.6f} ± {r['ref_dEp']:.6f} "
                         f"| {r['Ep']:.6f} ± {r['dEp']:.6f} "

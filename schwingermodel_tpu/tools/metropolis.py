@@ -97,10 +97,12 @@ def exact_plaquette(beta: float) -> float:
     """<P> = I1(beta)/I0(beta): exact 2D U(1) pure-gauge result."""
     from numpy import exp, pi
 
-    # modified Bessel ratio via quadrature (no scipy dependency)
+    # modified Bessel ratio via quadrature (no scipy dependency);
+    # np.trapezoid is numpy>=2 -- fall back to the 1.x spelling
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
     th = np.linspace(-pi, pi, 20001)
     w = exp(beta * np.cos(th))
-    return float(np.trapezoid(w * np.cos(th), th) / np.trapezoid(w, th))
+    return float(trapezoid(w * np.cos(th), th) / trapezoid(w, th))
 
 
 def main(argv=None) -> int:

@@ -227,3 +227,63 @@ def test_run_result_carries_perf(small_lattice):
     assert res.perf is not None
     assert "thermalize" in res.perf and "measure" in res.perf
     assert res.perf["measure"]["traj_per_s"] > 0
+
+
+def test_dirac_inverse_eo_matches_full():
+    """D^{-1} z via the even-odd Schur solve (models.dirac_inverse) equals
+    the full-D normal-solve path, f64, on a random configuration."""
+    rng = np.random.default_rng(5)
+    theta = jnp.asarray(random_theta(rng, 8, 8))
+    z = jnp.asarray(rng.normal(size=(2, 8, 8)) + 1j * rng.normal(size=(2, 8, 8)),
+                    dtype=jnp.complex128)
+
+    m_full = _model(m0=0.2, beta=4.0, tol=1e-12)
+    m_eo = SchwingerModel(
+        lattice=m_full.lattice,
+        hmc=HMCParams(beta=4.0, m0=0.2, even_odd=True,
+                      cg=CGParams(tol=1e-12, max_iter=20000)))
+
+    w_full, res_full = m_full.dirac_inverse(theta, z)
+    w_eo, res_eo = m_eo.dirac_inverse(theta, z)
+    assert bool(res_full.converged) and bool(res_eo.converged)
+    np.testing.assert_allclose(np.asarray(w_eo), np.asarray(w_full),
+                               rtol=0, atol=1e-9)
+    # verify it IS the inverse: D w = z
+    np.testing.assert_allclose(np.asarray(m_full.D(theta, w_full)),
+                               np.asarray(z), rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("even_odd", [False, True])
+def test_condensate_f32_refined_shipped_contract(even_odd):
+    """The shipped TPU contract (f32 + cg.refine, tol=1e-10): every
+    condensate solve CONVERGES -- the round-3 verdict found this path
+    stalled at the f32 residual floor and burned max_iter -- and the value
+    matches the f64 dense Tr D^{-1} oracle fed the SAME noise vectors, to
+    f32-assembly accuracy."""
+    rng = np.random.default_rng(9)
+    theta32 = jnp.asarray(random_theta(rng, 8, 8), dtype=jnp.float32)
+
+    model = SchwingerModel(
+        lattice=LatticeParams(Nx=8, Nt=8, real_dtype="float32"),
+        hmc=HMCParams(beta=4.0, m0=0.2, even_odd=even_odd,
+                      cg=CGParams(tol=1e-10, max_iter=10000, refine=True)))
+
+    zs = obs.condensate_noise(model, jax.random.PRNGKey(21), theta32.shape,
+                              n_noise=4)
+    res = obs.chiral_condensate_given_noise(model, theta32, zs)
+    assert bool(res.solves.all_converged), (
+        "condensate solves must reach tol=1e-10 under the refinement "
+        "dispatch (plain f32 CG stalls at ~1e-7)")
+    # must not burn max_iter per solve (the old failure mode):
+    assert int(res.solves.iters) < 4 * 2000
+
+    # f64 oracle with identical noise: mean_k z_k^+ D^{-1} z_k / V
+    model64 = _model(m0=0.2, beta=4.0, tol=1e-12)
+    theta64 = theta32.astype(jnp.float64)
+    D = _dense_dirac(model64, theta64)
+    ests = []
+    for k in range(zs.shape[0]):
+        z = np.asarray(zs[k]).astype(np.complex128).reshape(-1)
+        ests.append(float(np.real(z.conj() @ np.linalg.solve(D, z))))
+    exact = np.mean(ests) / model.lattice.volume
+    np.testing.assert_allclose(float(res.value), exact, rtol=2e-4)

@@ -27,6 +27,7 @@ def _model32(Nx=8, Nt=8, m0=0.1, beta=2.0, integrator="leapfrog"):
         lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32"),
         hmc=HMCParams(beta=beta, m0=m0, even_odd=True, md_steps=6,
                       trajectory_length=0.6, integrator=integrator,
+                      packed=True,      # force the path off-TPU (interpret)
                       cg=CGParams(tol=1e-6, max_iter=2000)),
     )
 

@@ -133,7 +133,8 @@ def test_runner_packed_fast_path():
 
     lat32 = LatticeParams(Nx=8, Nt=8, real_dtype="float32")
     hmc32 = HMCParams(beta=2.0, m0=0.1, md_steps=6, trajectory_length=0.6,
-                      even_odd=True, cg=CGParams(tol=1e-6, max_iter=2000))
+                      even_odd=True, packed=True,
+                      cg=CGParams(tol=1e-6, max_iter=2000))
     res = run_hmc(lat32, hmc32, RunParams(n_therm=6, n_meas=8, n_chains=2,
                                           seed=3))
     assert res.acceptance_rate > 0.5
@@ -150,7 +151,8 @@ def test_runner_packed_autotune():
 
     lat32 = LatticeParams(Nx=8, Nt=8, real_dtype="float32")
     hmc32 = HMCParams(beta=2.0, m0=0.1, md_steps=4, trajectory_length=0.6,
-                      even_odd=True, cg=CGParams(tol=1e-6, max_iter=2000))
+                      even_odd=True, packed=True,
+                      cg=CGParams(tol=1e-6, max_iter=2000))
     res = run_hmc(lat32, hmc32,
                   RunParams(n_therm=8, n_meas=4, n_chains=2, seed=5,
                             autotune=True, n_tune=6))
