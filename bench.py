@@ -132,7 +132,8 @@ def main():
     vr1, accr1, _ = run_packed(refined, 1, BLOCK, 200, seed=2)
     emit("hmc_traj_per_s_64x64_refined", round(vr1, 3), "traj/s",
          round(vr1 / CPP_BASELINE_TRAJ_PER_S, 2),
-         contract="refined_1e-10_dfloat", acceptance=round(accr1, 3))
+         contract="refined_1e-10_dfloat", acceptance=round(accr1, 3),
+         force_tol=refined.hmc.cg.resolved_force_tol())
 
     vr, accr, itr = run_packed(refined, N_CHAINS, BLOCK, 100, seed=3)
     gflops = (itr * 100 * N_CHAINS) * cg_iteration_flops(64 * 64, True) \
@@ -142,6 +143,7 @@ def main():
     emit("hmc_traj_per_s_64x64_agg_c32_refined", round(vr, 3), "traj/s/chip",
          round(vr / CPP_BASELINE_TRAJ_PER_S, 2),
          contract="refined_1e-10_dfloat", acceptance=round(accr, 3),
+         force_tol=refined.hmc.cg.resolved_force_tol(),
          cg_iters_per_traj=round(itr, 1),
          loose_aggregate=round(vl, 1),
          refined_over_loose=round(vr / vl, 3))

@@ -82,6 +82,24 @@ class CGParams:
     inner_tol: float = 1e-5
     # Cap on refinement passes (2-4 typical; stagnation exits early).
     max_outer: int = 8
+    # MD force-solve tolerance. The ACTION solves entering the Metropolis
+    # dH always run at `tol` (the reference's 1e-10 contract,
+    # src/main.cpp:26-27), but the FORCE solves only steer the integrator:
+    # their error perturbs the trajectory like any integrator error and is
+    # corrected exactly by the accept/reject, with the reversibility
+    # residue (forecasted x0 makes forces weakly direction-dependent)
+    # bounded by this tolerance -- far below the dH resolution. Standard
+    # practice in production lattice HMC (e.g. MILC/QUDA split residuals).
+    # None = auto: 1e-8 under cg.refine (two decades looser than the
+    # 1e-10 action solves; <exp(-dH)>=1 and crossvalidation gates cover
+    # it), else `tol` (no split -- the loose contract and f64 runs match
+    # the reference exactly).
+    force_tol: Optional[float] = None
+
+    def resolved_force_tol(self) -> float:
+        if self.force_tol is not None:
+            return self.force_tol
+        return max(self.tol, 1e-8) if self.refine else self.tol
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +147,11 @@ class HMCParams:
     # kernels run in slow interpret mode elsewhere). True forces it
     # (interpret mode off-TPU, for tests); False always uses the sampler.
     packed: Optional[bool] = None
+    # Refined-contract forecast history depth (packed path): >= 2 MRE-
+    # projects each solve's start onto the span of the last K solutions
+    # (chronological inversion) inside the solve kernel; 0 keeps the
+    # fixed 2nd-order extrapolation. Ignored when cg_forecast is off.
+    mre_history: int = 0
     # MD integrator: "leapfrog" reproduces the reference's position-first
     # scheme (src/hmc.cpp:63-103, MD_steps-1 force evaluations); "omelyan"
     # is the 2nd-order minimum-norm (2MN) scheme of Omelyan/Mryglod/Folk

@@ -139,114 +139,151 @@ def trajectory_packed_given_noise(
             jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=(1, 2, 3))
         H_old = kin_old + sg_old + sf_old
 
-    def solve_refined(thE, thO, b_p, x0_p):
+    ftol = float(model.hmc.cg.resolved_force_tol())
+
+    def solve_refined(thE, thO, b_p, hist_p, tol_, certify=True):
         from schwingermodel_tpu.ops import pallas_df as pdf
 
-        return pdf.solve_refined_packed(
-            thE, thO, b_p, x0_p, m0=m0, tol=tol, inner_tol=inner_tol,
+        # reliable-update mixed-precision CG: ONE kernel, one continuous
+        # Krylov recursion with df true-residual replacements -- replaces
+        # the restart-per-pass refinement (pdf.solve_refined_packed), which
+        # cost ~3.7x the loose iteration count (docs/PERF.md round 3).
+        # Force solves pass tol_ = cg.resolved_force_tol() (config.py);
+        # the Metropolis action solves pass the full cg.tol contract.
+        return pdf.solve_refined_fused(
+            thE, thO, b_p, hist_p, m0=m0, tol=tol_, tau=inner_tol,
             max_iter=max_iter, max_outer=max_outer, Nth=Nth,
-            interpret=interpret)
+            certify=certify, interpret=interpret)
 
-    def force(thE, thO, x0_p, iters, conv):
+    # --- forecast state fc ---
+    # Chronological forecasting (Brower et al., chronological inversion).
+    # Loose contract: fc = [psi_1, psi_2] stack, x0 = 2 psi_1 - psi_2
+    # (leapfrog) / psi_1 (omelyan) -- the round-3 scheme, unchanged.
+    # Refined contract: hmc.mre_history >= 2 carries the last K df-collapsed
+    # solutions and the RU solve kernel MRE-projects the start onto their
+    # span (pallas_df); 0 keeps the fixed 2nd-order extrapolation.
+    # Exactness is unaffected (x0 only seeds CG; the <exp(-dH)>=1 gates
+    # cover forecasting bias).
+    K_MRE = int(model.hmc.mre_history)
+    use_mre = refined and forecast and K_MRE >= 2
+    leap = model.hmc.integrator == "leapfrog"
+    if refined:
+        fc0 = jnp.concatenate(
+            [phi_p[None]] * (K_MRE if use_mre else 2 if forecast else 1),
+            axis=0)
+    else:
+        fc0 = jnp.concatenate([phi_p[None]] * 2, axis=0)
+
+    def fc_push(fc, psi):
+        return jnp.concatenate([psi[None], fc[:-1]], axis=0)
+
+    def force(thE, thO, fc, iters, conv):
         if refined:
-            sol = solve_refined(thE, thO, phi_p, x0_p)
+            if use_mre:
+                hist = fc
+            elif forecast:
+                hist = ((2.0 * fc[0] - fc[1]) if leap else fc[0])[None]
+            else:
+                hist = phi_p[None]
+            # force solves: looser tolerance, recursion-trusted exit
+            # (the df-exact initial residual makes the short recursion
+            # accurate far beyond ftol); the ACTION solve below keeps the
+            # fully df-certified cg.tol contract
+            sol = solve_refined(thE, thO, phi_p, hist, ftol, certify=False)
             res = pt.force_step_fused(
                 thE, thO, phi_p, sol.x, m0=m0, beta=beta, tol=tol,
                 max_iter=max_iter, Nth=Nth, with_solve=False,
                 interpret=interpret)
-            return (res.FE, res.FO, sol.x, iters + sol.iters,
+            fc = fc_push(fc, sol.x) if forecast else fc   # !forecast: x0 = phi
+            return (res.FE, res.FO, fc, iters + sol.iters,
                     jnp.logical_and(conv, sol.converged))
+        if forecast:
+            x0 = (2.0 * fc[0] - fc[1]) if leap else fc[0]
+        else:
+            x0 = phi_p
         res = pt.force_step_fused(
-            thE, thO, phi_p, x0_p, m0=m0, beta=beta, tol=tol,
+            thE, thO, phi_p, x0, m0=m0, beta=beta, tol=tol,
             max_iter=max_iter, Nth=Nth, interpret=interpret)
-        return (res.FE, res.FO, res.psi, iters + res.iters,
+        return (res.FE, res.FO, fc_push(fc, res.psi), iters + res.iters,
                 jnp.logical_and(conv, res.converged))
 
     iters0 = jnp.zeros((C,), jnp.int32)
     conv0 = jnp.ones((C,), bool)
 
     # --- MD evolution (hmc/integrators.py structure, packed axpys) ---
-    # Chronological forecasting, second order: each force CG starts from
-    # the linear extrapolation 2 psi_1 - psi_2 of the previous two
-    # solutions (Brower et al., chronological inversion) -- theta moves
-    # O(dt) per step, so the extrapolation is accurate to O(dt^2) where the
-    # previous solution alone is O(dt); measured ~15% fewer iterations on
-    # top of plain forecasting. Exactness is unaffected (x0 only seeds CG;
-    # the <exp(-dH)>=1 gates cover forecasting bias).
     thE, thO, piE_n, piO_n = th.E, th.O, piE, piO
-    if model.hmc.integrator == "leapfrog":
+    if leap:
         n_inner = model.hmc.md_steps - 2
         thE = thE + (0.5 * dt) * piE_n
         thO = thO + (0.5 * dt) * piO_n
-        FE, FO, psi, iters, conv = force(thE, thO, phi_p, iters0, conv0)
-        psi2 = psi                         # no history yet: x0 = psi_1
+        FE, FO, fc, iters, conv = force(thE, thO, fc0, iters0, conv0)
+        if not use_mre and forecast:
+            fc = fc.at[1].set(fc[0])      # no history yet: x0 = psi_1
 
         def body(carry, _):
-            thE, thO, piE, piO, FE, FO, psi, psi2, iters, conv = carry
+            thE, thO, piE, piO, FE, FO, fc, iters, conv = carry
             piE = piE + dt * FE
             piO = piO + dt * FO
             thE = thE + dt * piE
             thO = thO + dt * piO
-            x0 = (2.0 * psi - psi2) if forecast else phi_p
-            psi_prev = psi
-            FE, FO, psi, iters, conv = force(thE, thO, x0, iters, conv)
-            return (thE, thO, piE, piO, FE, FO, psi, psi_prev, iters,
-                    conv), None
+            FE, FO, fc, iters, conv = force(thE, thO, fc, iters, conv)
+            return (thE, thO, piE, piO, FE, FO, fc, iters, conv), None
 
         if n_inner > 0:
-            (thE, thO, piE_n, piO_n, FE, FO, psi, psi2, iters, conv), _ = \
+            (thE, thO, piE_n, piO_n, FE, FO, fc, iters, conv), _ = \
                 lax.scan(
                     body,
-                    (thE, thO, piE_n, piO_n, FE, FO, psi, psi2, iters, conv),
+                    (thE, thO, piE_n, piO_n, FE, FO, fc, iters, conv),
                     None, length=n_inner)
         piE_n = piE_n + dt * FE
         piO_n = piO_n + dt * FO
         thE = thE + (0.5 * dt) * piE_n
         thO = thO + (0.5 * dt) * piO_n
         # action solve sits half a step beyond the last force solve
-        psi_fc = (1.5 * psi - 0.5 * psi2) if forecast else phi_p
+        psi_fc = (1.5 * fc[0] - 0.5 * fc[1]) if forecast else phi_p
     else:  # omelyan 2MN (integrators.omelyan structure)
         from schwingermodel_tpu.hmc.integrators import LAMBDA_2MN as lam
 
         n = model.hmc.md_steps
         thE = thE + (lam * dt) * piE_n
         thO = thO + (lam * dt) * piO_n
-        FE, FO, psi, iters, conv = force(thE, thO, phi_p, iters0, conv0)
+        FE, FO, fc, iters, conv = force(thE, thO, fc0, iters0, conv0)
 
-        def half_step(thE, thO, piE, piO, FE, FO, psi, iters, conv, merge):
+        def half_step(thE, thO, piE, piO, FE, FO, fc, iters, conv, merge):
             piE = piE + (0.5 * dt) * FE
             piO = piO + (0.5 * dt) * FO
             thE = thE + ((1.0 - 2.0 * lam) * dt) * piE
             thO = thO + ((1.0 - 2.0 * lam) * dt) * piO
-            FE, FO, psi, iters, conv = force(
-                thE, thO, psi if forecast else phi_p, iters, conv)
+            FE, FO, fc, iters, conv = force(thE, thO, fc, iters, conv)
             piE = piE + (0.5 * dt) * FE
             piO = piO + (0.5 * dt) * FO
             s = (2.0 if merge else 1.0) * lam * dt
             thE = thE + s * piE
             thO = thO + s * piO
             if merge:
-                FE, FO, psi, iters, conv = force(
-                    thE, thO, psi if forecast else phi_p, iters, conv)
-            return thE, thO, piE, piO, FE, FO, psi, iters, conv
+                FE, FO, fc, iters, conv = force(thE, thO, fc, iters, conv)
+            return thE, thO, piE, piO, FE, FO, fc, iters, conv
 
         def body(carry, _):
             out = half_step(*carry, True)
             return out, None
 
-        carry = (thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv)
+        carry = (thE, thO, piE_n, piO_n, FE, FO, fc, iters, conv)
         if n > 1:
             carry, _ = lax.scan(body, carry, None, length=n - 1)
-        thE, thO, piE_n, piO_n, FE, FO, psi, iters, conv = half_step(
+        thE, thO, piE_n, piO_n, FE, FO, fc, iters, conv = half_step(
             *carry, False)
-        psi_fc = psi if forecast else phi_p
+        psi_fc = fc[0] if forecast else phi_p
 
     # --- new Hamiltonian ---
     if refined:
         from schwingermodel_tpu.ops import pallas_df as pdf
         from schwingermodel_tpu.solvers.dfloat import df_add, df_sub
 
-        sol = solve_refined(thE, thO, phi_p, psi_fc)
+        # action solve forecast: MRE over the force history at the final
+        # theta, or the fixed half-step extrapolation (psi_fc) otherwise
+        sol = solve_refined(thE, thO, phi_p,
+                            fc if use_mre else psi_fc[None], tol)
         iters = iters + sol.iters
         conv = jnp.logical_and(conv, sol.converged)
         sf_new_df = pdf.dot_re_packed_df(phi_p, sol.x_hi, sol.x_lo, C)

@@ -161,13 +161,15 @@ class SchwingerModel:
         return dops.fermion_links(U, sign)
 
     def _solve_eo_refined(self, theta: jax.Array, ops: eo.EOOperators,
-                          b: jax.Array, x0=None):
+                          b: jax.Array, x0=None, tol: float | None = None):
         """(Dhat Dhat^+)^{-1} b meeting cg.tol at f64 grade: f32 inner
         solves (fused Pallas kernel when enabled) + true-residual
         refinement in f64 (x64 impl) or double-float (dfloat impl).
 
         Returns (CGResult, x_df): x_df is the DFComplex solution under the
         dfloat impl (for df-accurate action dots), else None."""
+
+        tol = self.hmc.cg.tol if tol is None else tol
 
         def inner(rhs, x0_lo):
             res = self._solve_eo_lo(ops, rhs, x0=x0_lo,
@@ -182,7 +184,7 @@ class SchwingerModel:
                                    self.lattice.Nt)
             return cg_refine_df(
                 ops_df.normal, inner, b, self._dot_re,
-                tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer,
+                tol=tol, max_outer=self.hmc.cg.max_outer,
                 x0=x0,
             )
 
@@ -192,7 +194,7 @@ class SchwingerModel:
                                 self.hmc.m0)
         res = cg_refine(
             ops_hi.normal, inner, b, self._dot_re,
-            tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer,
+            tol=tol, max_outer=self.hmc.cg.max_outer,
             x0=x0,
         )
         return res, None
@@ -227,29 +229,49 @@ class SchwingerModel:
                             rel_residual=res.rel_residual)
         return self._cg(self._eo_cg_operator(ops), b, x0, tol)
 
+    def _use_fused_sharded(self) -> bool:
+        """fused_cg semantics for the SHARDED fused apply (ops/pallas_halo):
+        None = auto (TPU backend only), True forces (interpret off-TPU,
+        tests), False keeps the jnp wide-halo composite."""
+        if self.hmc.fused_cg is not None:
+            return bool(self.hmc.fused_cg)
+        return jax.default_backend() == "tpu"
+
     def _eo_cg_operator(self, ops: eo.EOOperators):
         """The (Dhat Dhat^+) closure for the jnp CG loop. On a sharded mesh
         with big-enough local blocks, the wide-halo composite exchanges one
         width-4 ring per apply -- 4 ppermutes/iteration instead of 16
-        (ops/eo_halo.py); links extend once per solve here."""
+        (ops/eo_halo.py); links extend once per solve here. On f32 the
+        local compute of each apply additionally fuses into one Pallas
+        program per shard (ops/pallas_halo.py) -- the sharded fast path."""
         from schwingermodel_tpu.ops import eo_halo
 
         Nx_l, Nth_l = ops.Ue.shape[-2:]
         if eo_halo.supported(self.geom, Nx_l, Nth_l):
+            from schwingermodel_tpu.ops import pallas_halo
+
+            if (pallas_halo.fused_supported(
+                    self.geom, Nx_l, Nth_l, self.lattice.rdtype)
+                    and self._use_fused_sharded()):
+                return pallas_halo.EOOperatorsHaloFused(
+                    self.geom, ops.Uf, ops.m0,
+                    interpret=jax.default_backend() != "tpu").normal
             return eo_halo.EOOperatorsHalo(self.geom, ops.Uf, ops.m0).normal
         return ops.normal
 
     def _solve_eo(self, theta: jax.Array, ops: eo.EOOperators, b: jax.Array,
-                  x0=None) -> CGResult:
+                  x0=None, tol: float | None = None) -> CGResult:
         """(Dhat Dhat^+)^{-1} b at the configured precision contract:
         refinement to the f64 cg.tol when active, else the working-precision
-        solver at cg.tol."""
+        solver at cg.tol. `tol` overrides (the force solves pass
+        cg.resolved_force_tol())."""
         if self._refine_active():
-            return self._solve_eo_refined(theta, ops, b, x0=x0)[0]
-        return self._solve_eo_lo(ops, b, x0=x0)
+            return self._solve_eo_refined(theta, ops, b, x0=x0, tol=tol)[0]
+        return self._solve_eo_lo(ops, b, x0=x0, tol=tol)
 
     def _solve_full_refined(self, theta: jax.Array, Uf: jax.Array,
-                            b: jax.Array, x0=None):
+                            b: jax.Array, x0=None,
+                            tol: float | None = None):
         """(D D^+)^{-1} b for the full operator meeting cg.tol at f64 grade.
 
         Returns (CGResult, x_df): x_df is the DFComplex solution under the
@@ -259,6 +281,7 @@ class SchwingerModel:
         default TPU configuration; the x64 impl's f64 casts would silently
         downcast there and stall refinement)."""
         m0 = self.hmc.m0
+        tol = self.hmc.cg.tol if tol is None else tol
 
         def apply_lo(v):
             return dops.dirac_normal(self.geom, Uf, v, m0)
@@ -274,7 +297,7 @@ class SchwingerModel:
             ops_df = FullOperatorsDF(self.geom, theta, m0, self.lattice.Nt)
             return cg_refine_df(
                 ops_df.normal, inner, b, self._dot_re,
-                tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer, x0=x0)
+                tol=tol, max_outer=self.hmc.cg.max_outer, x0=x0)
 
         from schwingermodel_tpu.solvers.refine import cg_refine
 
@@ -285,18 +308,18 @@ class SchwingerModel:
 
         res = cg_refine(
             apply_hi, inner, b, self._dot_re,
-            tol=self.hmc.cg.tol, max_outer=self.hmc.cg.max_outer, x0=x0)
+            tol=tol, max_outer=self.hmc.cg.max_outer, x0=x0)
         return res, None
 
     def _solve_full(self, theta: jax.Array, Uf: jax.Array, b: jax.Array,
-                    x0=None) -> CGResult:
+                    x0=None, tol: float | None = None) -> CGResult:
         """(D D^+)^{-1} b for the full (non-even-odd) operator, with the same
         precision dispatch as _solve_eo."""
         if self._refine_active():
-            return self._solve_full_refined(theta, Uf, b, x0=x0)[0]
+            return self._solve_full_refined(theta, Uf, b, x0=x0, tol=tol)[0]
         return self._cg(
             lambda v: dops.dirac_normal(self.geom, Uf, v, self.hmc.m0),
-            b, x0, self.hmc.cg.tol)
+            b, x0, self.hmc.cg.tol if tol is None else tol)
 
     def _dot_re(self, x, y):
         return jnp.real(dops.spinor_dot(self.geom, x, y))
@@ -387,7 +410,8 @@ class SchwingerModel:
 
         if self.hmc.even_odd:
             ops = self.eo_ops(theta)
-            res = self._solve_eo(theta, ops, phi, x0=x0)
+            res = self._solve_eo(theta, ops, phi, x0=x0,
+                                 tol=self.hmc.cg.resolved_force_tol())
             psi = res.x                                 # (Dhat Dhat^+)^{-1} Phi
             # force math runs at working precision (its accuracy is bounded
             # by the f32 links anyway); psi itself is returned at solve
@@ -400,7 +424,8 @@ class SchwingerModel:
             return F, stats.merge(res), psi
 
         Uf = dops.fermion_links(U, self.sign_mask(theta))
-        res = self._solve_full(theta, Uf, phi, x0=x0)
+        res = self._solve_full(theta, Uf, phi, x0=x0,
+                               tol=self.hmc.cg.resolved_force_tol())
         psi = res.x                                     # (DD^+)^{-1} Phi
         psi_w = self._to_working(psi)
         chi_p = dops.dirac_dagger(self.geom, Uf, psi_w, m0)   # D^+ psi

@@ -327,3 +327,301 @@ def gauge_action_packed_df(thE: jax.Array, thO: jax.Array, beta: float,
 
     total = df_mul(s, _df_const(float(beta)))
     return total
+
+
+# ---------- single-kernel reliable-update solve (the 1e-10 contract) ----------
+#
+# solve_refined_packed above mirrors classic iterative refinement: each
+# outer pass RESTARTS the f32 CG on the new residual, throwing away the
+# Krylov subspace (and its deflation of the low modes) that the previous
+# pass built -- measured at 665 vs 182 iterations/trajectory against the
+# loose contract (docs/PERF.md round 3). The standard lattice-QCD answer
+# (mixed-precision CG with "reliable updates": van der Vorst/Ye residual
+# replacement; the scheme production GPU solvers use) keeps ONE continuous
+# CG recursion in f32 -- same direction vector d throughout -- while
+#   - accumulating x in double-float (error-free two_prod/two_sum axpy), and
+#   - replacing the recursive residual with the df TRUE residual
+#     b - A_df x whenever ||r|| has contracted by `tau` since the last
+#     replacement (a handful of df applies per solve),
+# so the recursion converges to 1e-10 as one solve instead of 2-4 restarted
+# ones. The convergence flag still certifies the df true residual -- the
+# reference's own criterion (src/conjugate_gradient.cpp:45) at ~1e-15
+# resolution. Everything (f32 links, df links, CG loop, replacements) is
+# ONE Pallas program with state pinned in VMEM.
+
+
+# The RU kernel holds df links (16 planes) + df x (8) + f32 CG state
+# (12) + f32 links (8) + stencil temporaries: ~40 MB at 64x64 C=32, above
+# the 32 MB request the single-purpose kernels use. v5e has 128 MB VMEM;
+# request 64 MB (measured fine; the graceful fallback for larger lattices
+# is the chunked custom_vmap of pallas_eo).
+_VMEM_LIMIT_RU_BYTES = 64 << 20
+
+
+def _xdf_to_dfc(x):
+    """df spinor (((reh,rel),(imh,iml)) per spin) -> DFComplex [2, Nx, N]."""
+    ((r0h, r0l), (i0h, i0l)), ((r1h, r1l), (i1h, i1l)) = x
+    return DFComplex((jnp.stack([r0h, r1h]), jnp.stack([r0l, r1l])),
+                     (jnp.stack([i0h, i1h]), jnp.stack([i0l, i1l])))
+
+
+def _dfc_to_xdf(z: DFComplex):
+    return (((z.re[0][0], z.re[1][0]), (z.im[0][0], z.im[1][0])),
+            ((z.re[0][1], z.re[1][1]), (z.im[0][1], z.im[1][1])))
+
+
+def _xdf_collapse(x):
+    """df spinor -> f32 spinor tuple ((re0,im0),(re1,im1))."""
+    ((r0h, r0l), (i0h, i0l)), ((r1h, r1l), (i1h, i1l)) = x
+    return ((r0h + r0l, i0h + i0l), (r1h + r1l, i1h + i1l))
+
+
+def _xdf_axpy(x, alpha, d):
+    """x_df += alpha * d, error-free: two_prod for the product, df_add for
+    the accumulate. alpha: [1, N] block-constant f32; d: f32 spinor."""
+    out = []
+    for xs, ds in zip(x, d):
+        comps = []
+        for (hi, lo), p in zip(xs, ds):
+            comps.append(df_add((hi, lo), two_prod(alpha, p)))
+        out.append(tuple(comps))
+    return tuple(out)
+
+
+def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
+                     xhi_ref, xlo_ref, iters_ref, rho_ref, bnorm_ref,
+                     *, m0: float, tol: float, tau: float, max_iter: int,
+                     max_outer: int, Nth: int, K: int, certify: bool):
+    from schwingermodel_tpu.ops.pallas_eo import _hop, _hop_dag, _spinor_axpbv, _csel
+    from schwingermodel_tpu.solvers.dfloat import unsafe_no_barriers
+
+    Nx, N = the_ref.shape[-2:]
+    mask_e, mask_o = pt.parity_masks(Nx)
+    tsh = pt.lane_tshifts(N, Nth)
+    dot_pc, _ = pt.block_dot(N, Nth)
+    m = jnp.float32(float(m0) + 2.0)
+    c = jnp.float32(1.0 / (4.0 * (float(m0) + 2.0)))
+    one = jnp.float32(1.0)
+
+    thE = jnp.stack([the_ref[0], the_ref[1]])
+    thO = jnp.stack([tho_ref[0], tho_ref[1]])
+    ue, uo = pt.links_from_theta(thE, thO, Nth)
+
+    def apply_A(v):
+        w = _hop_dag(uo, ue, v, mask_o, tsh)
+        vv = _spinor_axpbv(m, v, -c, _hop_dag(ue, uo, w, mask_e, tsh))
+        w2 = _hop(uo, ue, vv, mask_o, tsh)
+        return _spinor_axpbv(m, vv, -c, _hop(ue, uo, w2, mask_e, tsh))
+
+    with unsafe_no_barriers():
+        ops_df = EODFLanes(thE, thO, m0, Nth)
+        b = pt._read_spinor(b_ref)
+        b_df = _xdf_to_dfc((((b[0][0], jnp.zeros_like(b[0][0])),
+                             (b[0][1], jnp.zeros_like(b[0][1]))),
+                            ((b[1][0], jnp.zeros_like(b[1][0])),
+                             (b[1][1], jnp.zeros_like(b[1][1])))))
+        bnorm2 = dot_pc(b, b)
+        stop2 = jnp.float32(tol * tol) * bnorm2
+        tau2 = jnp.float32(tau * tau)
+        max_k = jnp.int32(max_iter)
+
+        # x0: K == 1 -> hist[0] verbatim; K > 1 -> in-kernel MRE forecast
+        # (chronological inversion, Brower et al. hep-lat/9509012), done in
+        # the DIFFERENCE space about the newest solution: x0 = psi_1 + d,
+        # d = argmin ||r_1 - A d|| over span{psi_i - psi_1}, r_1 = b - A
+        # psi_1. Projecting raw solutions instead would push the dominant
+        # common component through f32 dot products and floor x0 near 1e-5
+        # relative (measured WORSE than the pointwise 2nd-order
+        # extrapolation); in difference space the dominant part transfers
+        # elementwise-exactly and the f32 Gram-Schmidt noise is relative to
+        # the small corrections only.
+        def read_hist(i):
+            return ((hist_ref[i, 0, 0], hist_ref[i, 0, 1]),
+                    (hist_ref[i, 1, 0], hist_ref[i, 1, 1]))
+
+        if K == 1:
+            x0 = read_hist(0)
+        else:
+            tiny = jnp.float32(jnp.finfo(jnp.float32).tiny)
+
+            def scale(s, v):
+                return tuple((s * a[0], s * a[1]) for a in v)
+
+            base = read_hist(0)                # newest solution
+            w0 = apply_A(base)
+            r1 = _spinor_axpbv(one, b, -one, w0)
+            x0 = base
+            vs, ws = [], []
+            nrm_max = None
+            for i in range(1, K):
+                hi = read_hist(i)
+                # difference about the FIXED base (not the accumulating
+                # x0): v and w = A v must stay a consistent pair
+                v = _spinor_axpbv(one, hi, -one, base)   # psi_i - psi_1
+                w = _spinor_axpbv(one, apply_A(hi), -one, w0)
+                for vj, wj in zip(vs, ws):
+                    cij = dot_pc(w, wj)
+                    w = _spinor_axpbv(one, w, -cij, wj)
+                    v = _spinor_axpbv(one, v, -cij, vj)
+                nrm = dot_pc(w, w)
+                nrm_max = nrm if nrm_max is None else jnp.maximum(
+                    nrm_max, nrm)
+                # drop directions degenerate beyond the f32 GS noise floor
+                # (duplicate history early in the trajectory)
+                keep = nrm > jnp.float32(1e-8) * nrm_max
+                inv = jnp.where(keep,
+                                jax.lax.rsqrt(jnp.maximum(nrm, tiny)),
+                                jnp.float32(0.0))
+                w = scale(inv, w)
+                v = scale(inv, v)
+                x0 = _spinor_axpbv(one, x0, dot_pc(r1, w), v)
+                vs.append(v)
+                ws.append(w)
+            del vs, ws
+
+        z = jnp.zeros_like(x0[0][0])
+        x = (((x0[0][0], z), (x0[0][1], z)), ((x0[1][0], z), (x0[1][1], z)))
+
+        def true_residual(x):
+            r_df = dfc_sub(b_df, ops_df.normal(_xdf_to_dfc(x)))
+            return _xdf_collapse(_dfc_to_xdf(r_df))
+
+        r = true_residual(x)
+        rho = dot_pc(r, r)
+        rho_df = rho
+        iters0 = jnp.zeros((1, N), jnp.int32)
+
+        def inner(x, r, d, rho, tgt, iters, k_tot):
+            """f32 CG sweeps (df x-accumulation) until every chain's
+            recursive rho is under its target."""
+
+            def cond(carry):
+                _, _, _, rho, _, k = carry
+                return jnp.logical_and(jnp.any(rho >= tgt), k < max_k)
+
+            def body(carry):
+                x, r, d, rho, iters, k = carry
+                active = rho >= tgt
+                Ad = apply_A(d)
+                alpha = jnp.where(active, rho / dot_pc(d, Ad),
+                                  jnp.float32(0.0))
+                x = _xdf_axpy(x, alpha, d)
+                r = _spinor_axpbv(one, r, -alpha, Ad)
+                rho_c = dot_pc(r, r)
+                beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
+                d = tuple(
+                    _csel(active,
+                          (rs[0] + beta * ds[0], rs[1] + beta * ds[1]), ds)
+                    for rs, ds in zip(r, d))
+                rho = jnp.where(active, rho_c, rho)
+                iters = iters + jnp.where(active, jnp.int32(1),
+                                          jnp.int32(0))
+                return (x, r, d, rho, iters, k + jnp.int32(1))
+
+            return jax.lax.while_loop(
+                cond, body, (x, r, d, rho, iters, k_tot))
+
+        def cond_outer(carry):
+            _, _, _, _, rho_df, rho_df_prev, iters, k_tot, ko = carry
+            active = jnp.logical_and(jnp.any(rho_df >= stop2),
+                                     ko < jnp.int32(max_outer))
+            progressing = jnp.logical_or(
+                ko == 0, jnp.any(rho_df * 4.0 <= rho_df_prev))
+            return jnp.logical_and(
+                jnp.logical_and(active, progressing), k_tot < max_k)
+
+        def body_outer(carry):
+            x, r, d, rho, rho_df, _, iters, k_tot, ko = carry
+            # chase each chain tau^2 below its CERTIFIED residual (or to
+            # the final target if that is nearer)
+            tgt = jnp.maximum(stop2, tau2 * rho_df)
+            x, r, d, rho, iters, k_tot = inner(x, r, d, rho, tgt, iters,
+                                               k_tot)
+            if certify:
+                # reliable update: replace the drifted recursive residual
+                # with the df true residual; x and d carry un-restarted
+                r_new = true_residual(x)
+                rho_new = dot_pc(r_new, r_new)
+            else:
+                # certify=False (force solves): the INITIAL residual was
+                # df-exact and the recursion since then drifts only by
+                # ~eps * ||accumulated corrections|| -- far below the
+                # looser force tolerance after O(10) iterations -- so the
+                # recursive exit is trusted unless a genuine multi-phase
+                # contraction (tgt above stop2) still needs a replacement
+                def rep(_):
+                    rn = true_residual(x)
+                    return rn, dot_pc(rn, rn)
+
+                r_new, rho_new = jax.lax.cond(
+                    jnp.any(tgt > stop2), rep, lambda _: (r, rho),
+                    operand=None)
+            return (x, r_new, d, rho_new, rho_new, rho_df, iters, k_tot,
+                    ko + jnp.int32(1))
+
+        x, r, d, rho, rho_df, _, iters, k_tot, ko = jax.lax.while_loop(
+            cond_outer, body_outer,
+            (x, r, r, rho, rho_df, jnp.full_like(rho, jnp.inf), iters0,
+             jnp.int32(0), jnp.int32(0)))
+
+    ((r0h, r0l), (i0h, i0l)), ((r1h, r1l), (i1h, i1l)) = x
+    xhi_ref[0, 0], xhi_ref[0, 1] = r0h, i0h
+    xhi_ref[1, 0], xhi_ref[1, 1] = r1h, i1h
+    xlo_ref[0, 0], xlo_ref[0, 1] = r0l, i0l
+    xlo_ref[1, 0], xlo_ref[1, 1] = r1l, i1l
+    iters_ref[...] = iters
+    rho_ref[...] = rho_df
+    bnorm_ref[...] = bnorm2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m0", "tol", "tau", "max_iter", "max_outer", "Nth",
+                     "certify", "interpret"))
+def solve_refined_fused(thE, thO, b_p, hist_p, *, m0: float, tol: float,
+                        tau: float = 1e-5, max_iter: int = 10000,
+                        max_outer: int = 12, Nth: int = 0,
+                        certify: bool = True,
+                        interpret: bool = False) -> RefinedSolveResult:
+    """(Dhat Dhat^+)^{-1} b to `tol` at f64 grade: ONE Pallas program
+    running reliable-update mixed-precision CG (see block comment above).
+
+    hist_p: [K, 2, 2, Nx, N] forecast history. K == 1: hist_p[0] is the
+    plain starting guess. K > 1: the kernel MRE-projects b onto
+    span(hist_p) for x0 (chronological inversion; duplicates dropped).
+    A bare [2, 2, Nx, N] guess is promoted to K == 1.
+    tau: contract the recursive residual by this factor between df
+    true-residual replacements (config cg.inner_tol reused: same per-phase
+    contraction, but the Krylov recursion is never restarted).
+    max_outer: cap on replacement rounds (stagnation also exits).
+    """
+    if hist_p.ndim == 4:
+        hist_p = hist_p[None]
+    K = hist_p.shape[0]
+    _, Nx, N = thE.shape
+    C = N // Nth
+    kernel = functools.partial(
+        _solve_ru_kernel, m0=float(m0), tol=float(tol), tau=float(tau),
+        max_iter=int(max_iter), max_outer=int(max_outer), Nth=Nth, K=K,
+        certify=bool(certify))
+    out_shape = (
+        jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),   # x_hi
+        jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),   # x_lo
+        jax.ShapeDtypeStruct((1, N), jnp.int32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),          # rho_df
+        jax.ShapeDtypeStruct((1, N), jnp.float32),          # bnorm2
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    x_hi, x_lo, iters, rho, bnorm2 = pl.pallas_call(
+        kernel, out_shape=out_shape, in_specs=[vspec] * 4,
+        out_specs=(vspec,) * 5, interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_RU_BYTES),
+    )(thE, thO, b_p, hist_p)
+
+    iters_c = iters.reshape(C, Nth)[:, 0]
+    rho_c = rho.reshape(C, Nth)[:, 0]
+    bn_c = bnorm2.reshape(C, Nth)[:, 0]
+    return RefinedSolveResult(
+        x=x_hi + x_lo, x_hi=x_hi, x_lo=x_lo, iters=iters_c,
+        converged=rho_c < jnp.float32(float(tol) * float(tol)) * bn_c)

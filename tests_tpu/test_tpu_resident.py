@@ -398,3 +398,44 @@ def test_condensate_refined_on_device(rng):
     # the inner normal solve is 1e-10-certified; the assembly (hops, D^+)
     # runs in f32, bounding the end-to-end inverse at ~kappa * eps_f32
     assert rel < 1e-4, rel
+
+
+def test_solve_refined_fused_ru_contract_on_device(rng):
+    """The reliable-update single-kernel 1e-10 solve (pallas_df.
+    solve_refined_fused -- the trajectory's solver since round 4): true
+    residual certified against the independent numpy f64 oracle, and
+    cheaper than the restart-based refinement it replaced."""
+    from schwingermodel_tpu.ops import pallas_traj as pt
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    model = _model(refine=True)
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _thetas(rng, C)
+    v = _spinor(rng, (C, 2, Nx, Nth))
+
+    @jax.jit
+    def go(th, vv):
+        phi = jax.vmap(lambda t, w: model.eo_ops(t).dhat(w))(th, vv)
+        E, O = pt.pack_chains(model.geom, th)
+        phi_p = pt.pack_even(phi)
+        ru = pdf.solve_refined_fused(
+            E, O, phi_p, phi_p, m0=0.1, tol=1e-10, tau=1e-5,
+            max_iter=2000, max_outer=8, Nth=Nth)
+        old = pdf.solve_refined_packed(
+            E, O, phi_p, phi_p, m0=0.1, tol=1e-10, inner_tol=1e-5,
+            max_iter=2000, max_outer=8, Nth=Nth)
+        return (phi, pt.unpack_even(ru.x_hi, C), pt.unpack_even(ru.x_lo, C),
+                ru.converged, ru.iters, old.iters)
+
+    phi, x_hi, x_lo, conv, it_ru, it_old = go(theta, v)
+    assert bool(jnp.all(conv))
+    assert int(jnp.sum(it_ru)) <= int(jnp.sum(it_old)), (
+        np.asarray(it_ru), np.asarray(it_old))
+    x128 = to_host_c(x_hi) + to_host_c(x_lo)
+    th_h = np.asarray(theta)
+    phi_h = to_host_c(phi)
+    for c in range(C):
+        U = _np_links(th_h[c], Nt)
+        r = _np_eo_normal(U, x128[c], 0.1) - phi_h[c]
+        rel = np.linalg.norm(r.ravel()) / np.linalg.norm(phi_h[c].ravel())
+        assert rel < 1e-10, (c, rel)
