@@ -130,3 +130,66 @@ def measure_all(
         out["chiral_condensate"] = res.value
         out["condensate_cg_converged"] = res.solves.all_converged
     return out
+
+
+class CorrelatorResult(NamedTuple):
+    C_PP: jax.Array         # [Nt] pseudoscalar (pion) correlator
+    C_A0P: jax.Array        # [Nt] axial-temporal x pseudoscalar correlator
+    solves: SolveStats
+
+
+def meson_correlators(model: SchwingerModel, theta: jax.Array,
+                      ) -> CorrelatorResult:
+    """Point-source pseudoscalar and axial correlators (new capability --
+    the reference measures neither; its critical-mass table README.md:100-111
+    is quoted from Christian/Jansen/Nagai/Pollakowski, Nucl. Phys. B 739
+    (2006), who determine m_crit from exactly these correlators via the
+    PCAC quark mass).
+
+    Gamma basis of the Wilson operator here (ops/dirac.py spin combos,
+    reference doc Eq (34)): gamma0 = sigma_x, gamma1 = sigma_y,
+    gamma5 = sigma_z. With S(x) the 2x2-spin point-source propagator
+    column matrix S_{s s0}(x) = [D^{-1} delta_{0,s0}]_s(x) and gamma5-
+    hermiticity folding the sink-side inversion away:
+
+        C_PP(t)  = sum_x tr[S S^+]           (pion two-point function)
+        C_A0P(t) = 2 Re sum_x (S S^+)_{01}   (tr[gamma0 S S^+])
+
+    The PCAC quark mass follows as
+        m_PCAC(t) = [C_A0P(t+1) - C_A0P(t-1)] / (4 C_PP(t)),
+    linear in (m0 - m_crit) up to O(a) -- the zero crossing locates the
+    critical mass (tools/critical_mass.py). Single-device only (point
+    source); each spin column is one dirac_inverse solve at the model's
+    precision contract.
+    """
+    Nx, Nt = model.lattice.Nx, model.lattice.Nt
+    stats = SolveStats.zero()
+    cols = []
+    for s0 in (0, 1):
+        src = jnp.zeros((2, Nx, Nt), model.lattice.cdtype)
+        src = src.at[s0, 0, 0].set(1.0)
+        y, res = model.dirac_inverse(theta, src)
+        stats = stats.merge(res)
+        cols.append(y)                      # [2(spin s), Nx, Nt]
+    S0, S1 = cols                           # columns s0 = 0, 1
+    # (S S^+)_{ss'} = sum_{s0} S_{s s0} conj(S_{s' s0})
+    C_PP = jnp.sum(
+        jnp.abs(S0) ** 2 + jnp.abs(S1) ** 2, axis=(0, 1))          # [Nt]
+    ss01 = jnp.sum(
+        S0[0] * jnp.conj(S0[1]) + S1[0] * jnp.conj(S1[1]), axis=0)  # [Nt]
+    C_A0P = 2.0 * jnp.real(ss01)
+    return CorrelatorResult(C_PP=C_PP, C_A0P=C_A0P, solves=stats)
+
+
+def pcac_mass(C_PP, C_A0P):
+    """m_PCAC(t) from the correlators (symmetric lattice derivative);
+    returns [Nt] with the boundary-adjacent entries included (the caller
+    picks a plateau window away from the source)."""
+    import numpy as np
+
+    C_PP = np.asarray(C_PP, np.float64)
+    C_A0P = np.asarray(C_A0P, np.float64)
+    dA = 0.5 * (np.roll(C_A0P, -1) - np.roll(C_A0P, 1))
+    # overall sign fixed so the free-field plateau equals +m0 in this gamma
+    # basis (tests/test_observables.py::test_pcac_mass_free_field)
+    return -dA / (2.0 * np.maximum(np.abs(C_PP), 1e-300) * np.sign(C_PP))

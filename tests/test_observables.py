@@ -287,3 +287,23 @@ def test_condensate_f32_refined_shipped_contract(even_odd):
         ests.append(float(np.real(z.conj() @ np.linalg.solve(D, z))))
     exact = np.mean(ests) / model.lattice.volume
     np.testing.assert_allclose(float(res.value), exact, rtol=2e-4)
+
+
+def test_pcac_mass_free_field():
+    """Free Wilson fermions: the PCAC quark mass plateau must reproduce m0
+    up to O(a m0^2) lattice artifacts. Validates the whole correlator
+    chain: point-source propagator (dirac_inverse), gamma-basis algebra of
+    C_PP / C_A0P, and the symmetric-derivative PCAC ratio."""
+    m0 = 0.10
+    model = _model(Nx=16, Nt=16, m0=m0, tol=1e-12)
+    theta = jnp.zeros((2, 16, 16), jnp.float64)
+    res = obs.meson_correlators(model, theta)
+    assert bool(res.solves.all_converged)
+    m_t = obs.pcac_mass(res.C_PP, res.C_A0P)
+    # plateau away from source and midpoint: t in [3, 5]
+    plateau = m_t[3:6]
+    assert np.all(np.isfinite(plateau))
+    np.testing.assert_allclose(plateau.mean(), m0, rtol=0.12)
+    # and the pion correlator decays away from the source
+    C = np.asarray(res.C_PP)
+    assert C[1] > C[4] > 0
