@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cg-inner-tol", type=float, default=1e-5,
                    help="relative tolerance of each f32 inner solve under "
                         "--cg-refine")
+    p.add_argument("--cg-force-tol", type=float, default=None,
+                   help="MD force-solve tolerance (default auto: 1e-8 "
+                        "under --cg-refine, else --cg-tol; the Metropolis "
+                        "action solves always run at --cg-tol -- see "
+                        "config.CGParams.force_tol)")
     p.add_argument("--cg-refine-impl", choices=["auto", "x64", "dfloat"],
                    default="auto",
                    help="true-residual arithmetic: x64 (f64 emulation; "
@@ -246,7 +251,9 @@ def main(argv=None) -> int:
             even_odd=even_odd, cg_forecast=args.cg_forecast,
             integrator=args.integrator,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter,
-                        refine=cg_refine, refine_impl=refine_impl, inner_tol=args.cg_inner_tol),
+                        refine=cg_refine, refine_impl=refine_impl,
+                        inner_tol=args.cg_inner_tol,
+                        force_tol=args.cg_force_tol),
         )
         mesh_shape = (args.ranks_x, args.ranks_t)
         if args.ranks_chain > 1:

@@ -227,6 +227,20 @@ class SchwingerModel:
             )
             return CGResult(x=res.x, iters=res.iters, converged=res.converged,
                             rel_residual=res.rel_residual)
+        from schwingermodel_tpu.ops import pallas_halo
+
+        Nx_l, Nth_l = ops.Ue.shape[-2:]
+        if (pallas_halo.fused_supported(
+                self.geom, Nx_l, Nth_l, self.lattice.rdtype)
+                and self._use_fused_sharded()):
+            # the sharded fast path: whole per-iteration local work (apply
+            # + all four CG dots) in ONE kernel; 4 ppermutes + 1 psum ride
+            # XLA (ops/pallas_halo.py)
+            return pallas_halo.cg_solve_sharded_fused(
+                self.geom, ops.Uf, self.hmc.m0, b, x0, tol=float(tol),
+                max_iter=int(self.hmc.cg.max_iter),
+                sync_pred=self.geom.sync_any,
+                interpret=jax.default_backend() != "tpu")
         return self._cg(self._eo_cg_operator(ops), b, x0, tol)
 
     def _use_fused_sharded(self) -> bool:

@@ -45,11 +45,14 @@ from schwingermodel_tpu.ops.pallas_eo import (
 )
 
 
-def _halo_normal_kernel(ue_ref, uo_ref, off_ref, v_ref, out_ref, dots_ref,
+def _halo_normal_kernel(ue_ref, uo_ref, off_ref, v_ref, r_ref,
+                        out_ref, dots_ref,
                         *, m: float, with_dots: bool):
-    """out = crop((Dhat Dhat^+) v_ext); optionally the local partials of
-    [<v,v>, <v,out>, <out,out>] over the VALID (cropped) region -- the
-    single-reduction CG's batched dots (solvers/cg.py) with r==v=d."""
+    """out = crop((Dhat Dhat^+) v_ext); with_dots additionally emits the
+    LOCAL partials of the single-reduction CG's four inner products
+    [<r,r>, <d,Ad>, <Ad,Ad>, <r,Ad>] (d = crop(v), Ad = out; r comes in
+    un-extended) so a sharded CG iteration needs only this kernel + the
+    4 halo ppermutes + ONE psum of these partials (solvers/cg.py)."""
     mask_e = off_ref[...] == jnp.int32(1)
     mask_o = jnp.logical_not(mask_e)
     mf = jnp.float32(m)
@@ -72,48 +75,55 @@ def _halo_normal_kernel(ue_ref, uo_ref, off_ref, v_ref, out_ref, dots_ref,
     out_ref[1, 0] = crop(out[1][0])
     out_ref[1, 1] = crop(out[1][1])
     if with_dots:
-        vv = jnp.float32(0.0)
-        vo = jnp.float32(0.0)
-        oo = jnp.float32(0.0)
+        rr = jnp.float32(0.0)
+        dAd = jnp.float32(0.0)
+        AdAd = jnp.float32(0.0)
+        rAd = jnp.float32(0.0)
         for s in range(2):
             for comp in range(2):
-                a = crop(v[s][comp])
-                b = crop(out[s][comp])
-                vv = vv + jnp.sum(a * a)
-                vo = vo + jnp.sum(a * b)
-                oo = oo + jnp.sum(b * b)
-        dots_ref[0, 0] = vv
-        dots_ref[0, 1] = vo
-        dots_ref[0, 2] = oo
+                d_p = crop(v[s][comp])
+                Ad_p = crop(out[s][comp])
+                r_p = r_ref[s, comp]
+                rr = rr + jnp.sum(r_p * r_p)
+                dAd = dAd + jnp.sum(d_p * Ad_p)
+                AdAd = AdAd + jnp.sum(Ad_p * Ad_p)
+                rAd = rAd + jnp.sum(r_p * Ad_p)
+        # one full-ref vector store (Mosaic rejects scalar stores to VMEM)
+        dots_ref[...] = jnp.stack([rr, dAd, AdAd, rAd])[None, :]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("m0", "with_dots", "interpret"))
-def halo_normal_fused(ue_ext, uo_ext, off_ext, v_ext, *, m0: float,
-                      with_dots: bool = False, interpret: bool = False):
+def halo_normal_fused(ue_ext, uo_ext, off_ext, v_ext, r_loc=None,
+                      *, m0: float, with_dots: bool = False,
+                      interpret: bool = False):
+    # NOTE: deliberately not jax.jit-wrapped -- a nested closed_call inside
+    # shard_map + scan trips a JAX cache KeyError on the TPU lowering, and
+    # every caller is already inside jit.
     """Local block of (Dhat Dhat^+) v from width-4-extended planar inputs.
 
     ue_ext/uo_ext: f32 [2(dir), 2(re/im), Nxe, Nthe] extended packed links
     (antiperiodic sign pre-folded). off_ext: int32 [Nxe, 1] even-row
     offsets of the extended block. v_ext: f32 [2(spin), 2, Nxe, Nthe].
-    Returns [2, 2, Nxe-2W, Nthe-2W] (+ the local [<d,d>,<d,Ad>,<Ad,Ad>]
-    partials when with_dots).
+    r_loc (with_dots): f32 [2, 2, Nx, Nth] un-extended local residual.
+    Returns [2, 2, Nxe-2W, Nthe-2W] (+ the local
+    [<r,r>, <d,Ad>, <Ad,Ad>, <r,Ad>] partials when with_dots).
     """
     _, _, Nxe, Nthe = v_ext.shape
     m = float(m0) + 2.0
+    if r_loc is None:
+        r_loc = jnp.zeros((2, 2, Nxe - 2 * W, Nthe - 2 * W), jnp.float32)
     kernel = functools.partial(_halo_normal_kernel, m=m,
                                with_dots=with_dots)
     out_shape = (
         jax.ShapeDtypeStruct((2, 2, Nxe - 2 * W, Nthe - 2 * W), jnp.float32),
-        jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4), jnp.float32),
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out, dots = pl.pallas_call(
-        kernel, out_shape=out_shape, in_specs=[vspec] * 4,
+        kernel, out_shape=out_shape, in_specs=[vspec] * 5,
         out_specs=(vspec, vspec), interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES),
-    )(ue_ext, uo_ext, off_ext, v_ext)
+    )(ue_ext, uo_ext, off_ext, v_ext, r_loc)
     return (out, dots[0]) if with_dots else out
 
 
@@ -170,3 +180,63 @@ def fused_supported(geom, Nx_l: int, Nth_l: int, rdtype) -> bool:
     working dtype is f32 (the kernels are f32 planar)."""
     return (eo_halo.supported(geom, Nx_l, Nth_l)
             and jnp.dtype(rdtype) == jnp.float32)
+
+
+def cg_solve_sharded_fused(geom: ShardedGeometry, Uf: jax.Array, m0,
+                           b: jax.Array, x0: jax.Array | None = None, *,
+                           tol: float, max_iter: int,
+                           sync_pred=None, interpret: bool = False):
+    """Sharded (Dhat Dhat^+)^{-1} b with the WHOLE per-iteration local work
+    in one kernel: apply + all four single-reduction inner products
+    (solvers/cg.cg_solve_single_reduction semantics, identical update
+    formulas). Per iteration: 4 ppermutes (halo) + 1 kernel + 1 psum
+    (the [4] dot partials). The reference pays 16 MPI sends + 2 Allreduce
+    (src/dirac_operator.cpp:66-88, src/conjugate_gradient.cpp:33-44).
+    """
+    from schwingermodel_tpu.solvers.cg import CGResult
+    from jax import lax
+
+    op = EOOperatorsHaloFused(geom, Uf, m0, interpret=interpret)
+    mi = float(m0)
+
+    def apply_plain(p):
+        p_ext = extend(geom, p)
+        return halo_normal_fused(op.ue_ext, op.uo_ext, op.off_ext, p_ext,
+                                 m0=mi, interpret=interpret)
+
+    b_pl = _to_planes(b)
+    x = b_pl if x0 is None else _to_planes(x0)
+    b_norm2 = geom.gsum_all(b_pl * b_pl)
+    stop2 = jnp.float32(tol * tol) * b_norm2
+
+    r = b_pl - apply_plain(x)
+    rho0 = geom.gsum_all(r * r)
+
+    def cond(carry):
+        _, _, _, rho, k = carry
+        cont = jnp.logical_and(rho >= stop2, k < max_iter)
+        return sync_pred(cont) if sync_pred is not None else cont
+
+    def body(carry):
+        x, r, d, rho, k = carry
+        d_ext = extend(geom, d)
+        Ad, dots = halo_normal_fused(
+            op.ue_ext, op.uo_ext, op.off_ext, d_ext, r,
+            m0=mi, with_dots=True, interpret=interpret)
+        rr, dAd, AdAd, rAd = lax.psum(
+            dots, (geom.x_name, geom.t_name))
+        alpha = rr / dAd
+        x = x + alpha * d
+        r = r - alpha * Ad
+        rho_new = rr - 2.0 * alpha * rAd + alpha * alpha * AdAd
+        beta = rho_new / rr
+        d = r + beta * d
+        return (x, r, d, rho_new, k + 1)
+
+    x, r, d, rho, k = lax.while_loop(
+        cond, body, (x, r, r, rho0, jnp.int32(0)))
+    rho_exact = geom.gsum_all(r * r)
+    rel = jnp.sqrt(jnp.abs(rho_exact)) * lax.rsqrt(
+        jnp.maximum(b_norm2, jnp.finfo(jnp.float32).tiny))
+    return CGResult(x=_to_complex(x), iters=k,
+                    converged=rho_exact < stop2, rel_residual=rel)

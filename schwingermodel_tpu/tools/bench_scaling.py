@@ -324,15 +324,28 @@ def _chain_scaling_parent(args) -> int:
         print(json.dumps(row), flush=True)
 
     base = rows[0]
+    ncores = os.cpu_count() or 1
     for r in rows:
         scale = r["processes"] / base["processes"]
         r["efficiency_vs_linear"] = round(
             r["value"] / (base["value"] * scale), 3)
+        # On a host with fewer cores than processes, linear scaling is
+        # physically impossible (compute time-shares cores); the quantity
+        # the proxy CAN measure there is whether the COMMUNICATION layer
+        # (jax.distributed lockstep, per-block barriers) degrades beyond
+        # core sharing: rate(P) vs the core-saturated ideal
+        # rate(min(P, ncores)) * 1.
+        sat = min(r["processes"], ncores) / min(base["processes"], ncores)
+        r["efficiency_vs_core_saturated"] = round(
+            r["value"] / (base["value"] * sat), 3)
     summary = {
         "metric": "chain_axis_scaling_efficiency",
         "per_process_devices": args.devices or 1,
+        "host_cores": ncores,
         "rows": rows,
         "efficiency": rows[-1]["efficiency_vs_linear"],
+        "efficiency_core_saturated": rows[-1][
+            "efficiency_vs_core_saturated"],
     }
     print(json.dumps(summary), flush=True)
     if args.json:

@@ -107,7 +107,7 @@ def main(argv=None) -> int:
         out = fn(*a)
         jax.device_get(out)
         ts = []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             out = fn(*a)
             jax.device_get(out)
@@ -134,20 +134,20 @@ def main(argv=None) -> int:
                           .astype(np.int32))
     off_o_x = 1 - off_e_x
 
-    Ue_ext_c = jax.lax.complex(ue_ext[:, 0], ue_ext[:, 1])
-    Uo_ext_c = jax.lax.complex(uo_ext[:, 0], uo_ext[:, 1])
-
-    def jnp_local(vv):
-        ve = self_extend(vv)
-        w1 = eo.hop_dag(geom, Uo_ext_c, Ue_ext_c, ve, off_o_x)
-        u = m * ve - c * eo.hop_dag(geom, Ue_ext_c, Uo_ext_c, w1, off_e_x)
-        w2 = eo.hop(geom, Uo_ext_c, Ue_ext_c, u, off_o_x)
-        out = m * u - c * eo.hop(geom, Ue_ext_c, Uo_ext_c, w2, off_e_x)
-        return out[..., W:-W, W:-W]
-
     def make_jnp(n):
         @jax.jit
-        def f(v):
+        def f(v, ue, uo):
+            Ue_c = jax.lax.complex(ue[:, 0], ue[:, 1])
+            Uo_c = jax.lax.complex(uo[:, 0], uo[:, 1])
+
+            def jnp_local(vv):
+                ve = self_extend(vv)
+                w1 = eo.hop_dag(geom, Uo_c, Ue_c, ve, off_o_x)
+                u = m * ve - c * eo.hop_dag(geom, Ue_c, Uo_c, w1, off_e_x)
+                w2 = eo.hop(geom, Uo_c, Ue_c, u, off_o_x)
+                out = m * u - c * eo.hop(geom, Ue_c, Uo_c, w2, off_e_x)
+                return out[..., W:-W, W:-W]
+
             def body(x, _):
                 y = jnp_local(x)
                 return y * jax.lax.rsqrt(
@@ -156,18 +156,20 @@ def main(argv=None) -> int:
             return jnp.real(jnp.sum(y))
         return f
 
-    n1, n2 = (20, 120) if interpret else (2000, 12000)
-    s_jnp = slope(make_jnp, n1, n2, v0)
+    # wide windows: per-apply ~1 us must integrate far past the
+    # tunnel's ~ms dispatch jitter (BENCH_KERNELS round-3 lesson)
+    n1, n2 = (20, 120) if interpret else (2000, 42000)
+    s_jnp = slope(make_jnp, n1, n2, v0, ue_ext, uo_ext)
     emit("sharded_local_jnp_us", s_jnp * 1e6, "us/apply")
 
     # ---- fused local kernel (the new fast path) ----
     def make_fused(n):
         @jax.jit
-        def f(v):
+        def f(v, ue, uo):
             def body(x, _):
                 x_ext = self_extend(ph._to_planes(x))
                 y = ph._to_complex(ph.halo_normal_fused(
-                    ue_ext, uo_ext, off_e, x_ext, m0=m0,
+                    ue, uo, off_e, x_ext, m0=m0,
                     interpret=interpret))
                 return y * jax.lax.rsqrt(
                     jnp.real(jnp.sum(jnp.conj(y) * y))), None
@@ -175,39 +177,67 @@ def main(argv=None) -> int:
             return jnp.real(jnp.sum(y))
         return f
 
-    s_fused = slope(make_fused, n1, n2, v0)
+    s_fused = slope(make_fused, n1, n2, v0, ue_ext, uo_ext)
     emit("sharded_local_fused_us", s_fused * 1e6, "us/apply",
          speedup_vs_jnp=round(s_jnp / s_fused, 2))
 
-    # ---- the dense-chip comparator: fused whole-CG at equal local volume --
-    from schwingermodel_tpu.ops import pallas_traj as pt
+    # ---- full sharded CG iteration through the REAL path ----
+    # cg_solve_sharded_fused under shard_map on a 1x1 mesh: the identical
+    # program a pod shard runs (extend -> kernel with in-kernel dots ->
+    # psum), minus only the cross-chip wire time of the 4 ppermutes +
+    # 1 psum (~2-4 us on ICI). Solves chain over FRESH pre-drawn RHS
+    # (realistic iteration counts), iteration-counted on device.
+    from jax.sharding import PartitionSpec as P
 
-    C = max(1, 1024 // Nth)     # fill the 128-lane tiles like the bench does
-    thetas = jnp.asarray(
-        rng.uniform(-np.pi, np.pi, (C, 2, Nx, 2 * Nth)), jnp.float32)
-    thE, thO = pt.pack_chains(geom, thetas)
-    b_np = (rng.normal(size=(C, 2, Nx, Nth))
-            + 1j * rng.normal(size=(C, 2, Nx, Nth)))
-    b_p = pt.pack_even(jnp.asarray(b_np, jnp.complex64))
+    from schwingermodel_tpu.ops import pallas_halo as ph2
+    from schwingermodel_tpu.ops.geometry import ShardedGeometry
+    from schwingermodel_tpu.parallel.mesh import lattice_mesh
 
-    def make_cg(max_iter):
-        @functools.partial(jax.jit)
-        def f(b):
-            sol = pt.solve_fused(thE, thO, b, b, m0=m0, tol=1e-30,
-                                 max_iter=max_iter, Nth=Nth,
-                                 interpret=interpret)
-            return jnp.sum(sol.x), sol.iters
-        return f
+    sgeom = ShardedGeometry()
+    mesh = lattice_mesh((1, 1))
+    n_rhs1, n_rhs2 = (2, 5) if interpret else (5, 45)
+    rhs_re = jnp.asarray(
+        rng.normal(size=(n_rhs2, 2, Nx, Nth)), jnp.float32)
+    rhs_im = jnp.asarray(
+        rng.normal(size=(n_rhs2, 2, Nx, Nth)), jnp.float32)
 
-    i1, i2 = (5, 30) if interpret else (200, 1400)
-    t1 = timed(lambda b: make_cg(i1)(b)[0], b_p)
-    t2 = timed(lambda b: make_cg(i2)(b)[0], b_p)
-    per_iter = (t2 - t1) / (i2 - i1)
-    emit("packed_fused_us_per_iter_equal_volume", per_iter * 1e6,
-         "us/iter", chains=C,
-         note="whole-CG iteration, C chains at the same local volume")
-    emit("sharded_local_cliff_x", s_fused / per_iter, "x",
-         note="fused sharded local apply vs dense-chip fused CG iteration")
+    def make_solves(n):
+        def run(th, rhs_re, rhs_im):
+            from schwingermodel_tpu.ops import dirac as dops
+            from schwingermodel_tpu.ops import gauge as gops
+
+            U = gops.links(th, jnp.complex64)
+            sign = dops.make_sign_mask(sgeom, Nx, 2 * Nth, 2 * Nth,
+                                       jnp.float32)
+            Uf = dops.fermion_links(U, sign)
+
+            def body(carry, rr):
+                b = jax.lax.complex(rr[0], rr[1])
+                res = ph2.cg_solve_sharded_fused(
+                    sgeom, Uf, m0, b, tol=1e-6, max_iter=2000,
+                    interpret=interpret)
+                return carry + jnp.real(jnp.sum(res.x)), res.iters
+            tot, its = jax.lax.scan(
+                body, jnp.float32(0.0),
+                jnp.stack([rhs_re[:n], rhs_im[:n]], axis=1))
+            return tot, jnp.sum(its)
+
+        spec = P(None, "x", "t")
+        return jax.jit(jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(spec, P(None, None, "x", "t"), P(None, None, "x", "t")),
+            out_specs=(P(), P()), check_vma=False))
+
+    f1, f2 = make_solves(n_rhs1), make_solves(n_rhs2)
+    t1 = timed(lambda *a: f1(*a)[0], theta, rhs_re, rhs_im)
+    t2 = timed(lambda *a: f2(*a)[0], theta, rhs_re, rhs_im)
+    it1 = float(jax.device_get(f1(theta, rhs_re, rhs_im)[1]))
+    it2 = float(jax.device_get(f2(theta, rhs_re, rhs_im)[1]))
+    per_iter = (t2 - t1) / max(it2 - it1, 1.0)
+    emit("sharded_cg_iter_us", per_iter * 1e6, "us/iter",
+         iters_per_solve=round((it2 - it1) / (n_rhs2 - n_rhs1), 1),
+         note="cg_solve_sharded_fused on a 1x1 mesh (in-kernel dots); add "
+              "~2-4 us ICI collectives on a real pod")
 
     if args.json:
         with open(args.json, "w") as f:
