@@ -14,8 +14,10 @@ unpacked vmapped trajectory in distribution, and tests can inject identical
 noise fields into both and compare dH directly (tests/test_pallas_traj.py).
 
 Scope (asserted in packed_supported): even-odd mode, unsharded, f32,
-leapfrog/omelyan, static beta, loose (non-refined) solver contract. The
-refined 1e-10-contract path and sharded lattices keep hmc/sampler.py.
+leapfrog/omelyan, static beta, BOTH solver contracts (the refined 1e-10
+contract rides the reliable-update kernel, ops/pallas_df.py). Sharded
+lattices keep hmc/sampler.py (with the fused sharded CG of
+ops/pallas_halo.py underneath).
 """
 
 from __future__ import annotations

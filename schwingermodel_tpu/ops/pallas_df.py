@@ -17,9 +17,13 @@ This module provides:
     Dhat Dhat^+ df composite;
   - df_normal_fused: the whole df normal apply as ONE Pallas kernel
     (planar pair in / planar pair out);
-  - solve_refined_packed: the full 1e-10-contract solve on packed planes --
+  - solve_refined_packed: restart-based refinement on packed planes --
     f32 inner solves (ops/pallas_traj.solve_fused) + df true-residual
-    refinement (this kernel), mirroring solvers/refine.cg_refine_df.
+    refinement (this kernel), mirroring solvers/refine.cg_refine_df;
+  - solve_refined_fused: the round-4 production solver -- the WHOLE
+    1e-10 solve as one reliable-update mixed-precision CG kernel (one
+    continuous f32 Krylov recursion, df solution accumulation, df
+    true-residual replacements, optional in-kernel MRE forecasting).
 """
 
 from __future__ import annotations
@@ -493,21 +497,43 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
 
         def inner(x, r, d, rho, tgt, iters, k_tot):
             """f32 CG sweeps (df x-accumulation) until every chain's
-            recursive rho is under its target."""
+            recursive rho is under its target. Chains whose f32 curvature
+            <d, Ad> stops being positive (near-singular operators at the
+            critical mass -- f32 breakdown) are frozen as `dead` instead
+            of propagating NaN through alpha/beta; they exit with
+            converged=False and the Metropolis rejects their
+            trajectory."""
+
+            # dead carried as an f32 0/1 mask: Mosaic fails to
+            # legalize i1 vectors in nested scf loop yields
+            dead0 = jnp.zeros_like(rho)
 
             def cond(carry):
-                _, _, _, rho, _, k = carry
-                return jnp.logical_and(jnp.any(rho >= tgt), k < max_k)
+                _, _, _, rho, dead, _, k = carry
+                live = jnp.logical_and(rho >= tgt,
+                                       dead < jnp.float32(0.5))
+                return jnp.logical_and(jnp.any(live), k < max_k)
 
             def body(carry):
-                x, r, d, rho, iters, k = carry
-                active = rho >= tgt
+                x, r, d, rho, dead, iters, k = carry
+                active = jnp.logical_and(rho >= tgt,
+                                         dead < jnp.float32(0.5))
                 Ad = apply_A(d)
-                alpha = jnp.where(active, rho / dot_pc(d, Ad),
-                                  jnp.float32(0.0))
+                dAd = dot_pc(d, Ad)
+                broke = jnp.logical_and(
+                    active, jnp.logical_not(dAd > jnp.float32(0.0)))
+                dead = jnp.maximum(dead, broke.astype(jnp.float32))
+                active = jnp.logical_and(active, jnp.logical_not(broke))
+                alpha = jnp.where(active, rho / dAd, jnp.float32(0.0))
                 x = _xdf_axpy(x, alpha, d)
                 r = _spinor_axpbv(one, r, -alpha, Ad)
                 rho_c = dot_pc(r, r)
+                # alpha overflow on near-singular f32 curvature poisons r
+                # with inf/NaN: freeze such chains too
+                dead = jnp.maximum(
+                    dead, jnp.logical_and(
+                        active, jnp.logical_not(jnp.isfinite(rho_c))
+                    ).astype(jnp.float32))
                 beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
                 d = tuple(
                     _csel(active,
@@ -516,10 +542,11 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
                 rho = jnp.where(active, rho_c, rho)
                 iters = iters + jnp.where(active, jnp.int32(1),
                                           jnp.int32(0))
-                return (x, r, d, rho, iters, k + jnp.int32(1))
+                return (x, r, d, rho, dead, iters, k + jnp.int32(1))
 
-            return jax.lax.while_loop(
-                cond, body, (x, r, d, rho, iters, k_tot))
+            x, r, d, rho, _, iters, k_tot = jax.lax.while_loop(
+                cond, body, (x, r, d, rho, dead0, iters, k_tot))
+            return x, r, d, rho, iters, k_tot
 
         def cond_outer(carry):
             _, _, _, _, rho_df, rho_df_prev, iters, k_tot, ko = carry

@@ -285,29 +285,45 @@ def _cg_planes(apply_A, b, x0, dot_pc, tol, max_iter):
     r0 = _spinor_axpbv(one, b, -one, apply_A(x0))
     rho0 = dot_pc(r0, r0)
     iters0 = jnp.zeros((1, N), jnp.int32)
+    # breakdown mask carried as f32 0/1 (Mosaic cannot carry i1 vectors
+    # through scf loop yields): chains whose f32 curvature <d, Ad> stops
+    # being positive, or whose residual norm overflows, are frozen instead
+    # of NaN-poisoning alpha/beta -- they exit with converged=False (the
+    # near-singular-operator regime at the critical mass)
+    dead0 = jnp.zeros_like(rho0)
 
     def cond(carry):
-        _, _, _, rho, _, k = carry
-        return jnp.logical_and(jnp.any(rho >= stop2), k < max_k)
+        _, _, _, rho, dead, _, k = carry
+        live = jnp.logical_and(rho >= stop2, dead < jnp.float32(0.5))
+        return jnp.logical_and(jnp.any(live), k < max_k)
 
     def body(carry):
-        x, r, d, rho, iters, k = carry
-        active = rho >= stop2
+        x, r, d, rho, dead, iters, k = carry
+        active = jnp.logical_and(rho >= stop2, dead < jnp.float32(0.5))
         Ad = apply_A(d)
-        alpha = jnp.where(active, rho / dot_pc(d, Ad), jnp.float32(0.0))
+        dAd = dot_pc(d, Ad)
+        broke = jnp.logical_and(active,
+                                jnp.logical_not(dAd > jnp.float32(0.0)))
+        dead = jnp.maximum(dead, broke.astype(jnp.float32))
+        active = jnp.logical_and(active, jnp.logical_not(broke))
+        alpha = jnp.where(active, rho / dAd, jnp.float32(0.0))
         x = _spinor_axpbv(one, x, alpha, d)
         r = _spinor_axpbv(one, r, -alpha, Ad)
         rho_c = dot_pc(r, r)
+        dead = jnp.maximum(
+            dead, jnp.logical_and(
+                active, jnp.logical_not(jnp.isfinite(rho_c))
+            ).astype(jnp.float32))
         beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
         d = tuple(
             _csel(active, (rs[0] + beta * ds[0], rs[1] + beta * ds[1]), ds)
             for rs, ds in zip(r, d))
         rho = jnp.where(active, rho_c, rho)
         iters = iters + jnp.where(active, jnp.int32(1), jnp.int32(0))
-        return (x, r, d, rho, iters, k + jnp.int32(1))
+        return (x, r, d, rho, dead, iters, k + jnp.int32(1))
 
-    x, _, _, rho, iters, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, r0, rho0, iters0, jnp.int32(0)))
+    x, _, _, rho, _, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, rho0, dead0, iters0, jnp.int32(0)))
     return x, iters, rho, bnorm2
 
 

@@ -30,10 +30,24 @@ import time
 
 
 POINTS = [
-    # name, Nx, Nt, beta, m0, md_steps, tau, chains, timed trajectories
-    ("128x128_b4_tau0.1", 128, 128, 4.0, 0.2, 10, 0.1, 8, 60),
-    ("64x64_b4_tau1", 64, 64, 4.0, 0.2, 10, 1.0, 32, 40),
-    ("64x64_b2_m-0.19_tau1", 64, 64, 2.0, -0.19, 14, 1.0, 32, 24),
+    # name, Nx, Nt, beta, m0, md_steps, tau, chains, n_timed,
+    #   integrator, max_iter
+    ("128x128_b4_tau0.1", 128, 128, 4.0, 0.2, 10, 0.1, 8, 60,
+     "leapfrog", 10000),
+    # tau=1 at 64x64 needs dt fine enough for the 0.6-0.8 acceptance
+    # band (dH ~ dt^4 * V; the reference's "MD_steps=10, tau=1" advice is
+    # calibrated on its 8x8/16x16 validation lattices, README.md:87-94)
+    ("64x64_b4_tau1", 64, 64, 4.0, 0.2, 40, 1.0, 32, 40,
+     "leapfrog", 10000),
+    # near-critical AT m_crit(beta=2) = -0.1968(9): the lowest Dirac
+    # eigenvalue scales ~1/V, so at 64^2 this point is outside the
+    # single-pseudofermion HMC envelope (acceptance collapses for the
+    # reference's algorithm too -- Hasenbusch mass preconditioning is the
+    # standard cure; measured and documented in docs/PERF.md). The
+    # committed stressed row is 32x32 (4x the validation-golden volume,
+    # ~16x its condition number); Omelyan 2MN keeps the force budget sane.
+    ("32x32_b2_m-0.19_tau1", 32, 32, 2.0, -0.19, 24, 1.0, 32, 40,
+     "omelyan", 20000),
 ]
 
 
@@ -60,7 +74,15 @@ def main(argv=None) -> int:
 
     rows = []
 
-    def run_packed(model, C, Nx, Nt, n_therm, n_timed, seed=0):
+    def run_packed(model, C, Nx, Nt, n_therm, n_timed, seed=0,
+                   anneal=()):
+        """anneal: sequence of intermediate m0 values to thermalize
+        through before the target mass -- near m_crit a hot start sits on
+        exceptional (near-singular-D) configurations that reject forever;
+        annealing from a safe mass reaches the target distribution the
+        way production near-critical runs do."""
+        import dataclasses
+
         key = prng.root_key(seed)
         thetas = jax.random.uniform(
             jax.random.fold_in(key, 7), (C, 2, Nx, Nt),
@@ -79,39 +101,77 @@ def main(argv=None) -> int:
             th, (acc, it, cv) = jax.lax.scan(body, th, jnp.arange(n))
             return th, jnp.sum(acc), jnp.sum(it), jnp.sum(cv)
 
-        th, a, it, cv = run(th, key, n_therm)
-        float(a)
-        th2, a, it, cv = run(th, jax.random.fold_in(key, 1), n_timed)
-        float(a)                             # compile the timed program
+        # chunked host fences: near-critical iteration counts make a
+        # 100-trajectory device program minutes long, which can trip the
+        # TPU worker watchdog (observed worker crash) -- bound each
+        # program to `chunk` trajectories
+        chunk = 20
+
+        def run_chunks(th, k0, n, fence=True):
+            acc = iters = conv = 0.0
+            done = 0
+            while done < n:
+                m = min(chunk, n - done)
+                th, a, it, cv = run(th, jax.random.fold_in(k0, done), m)
+                if fence:
+                    acc += float(a); iters += float(it); conv += float(cv)
+                done += m
+            return th, acc, iters, conv
+
+        for k, m0_a in enumerate(anneal):
+            m_a = dataclasses.replace(
+                model, hmc=dataclasses.replace(model.hmc, m0=m0_a))
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def run_a(th, k0, n, m_a=m_a):
+                def body(carry, i):
+                    th = carry
+                    keys = jax.vmap(lambda c: jax.random.fold_in(
+                        prng.trajectory_key(k0, i), c))(jnp.arange(C))
+                    th, st = hp.hmc_trajectory_packed(m_a, th, keys)
+                    return th, jnp.sum(st.accepted)
+                th, acc = jax.lax.scan(body, th, jnp.arange(n))
+                return th, jnp.sum(acc)
+
+            done = 0
+            while done < n_therm:
+                m = min(chunk, n_therm - done)
+                th, a_ = run_a(th, jax.random.fold_in(key, 500 + k), m)
+                float(a_)
+                done += m
+
+        th, *_ = run_chunks(th, key, n_therm)
+        th2, *_ = run_chunks(th, jax.random.fold_in(key, 1), n_timed)
         t0 = time.perf_counter()
-        th2, a, it, cv = run(th, jax.random.fold_in(key, 2), n_timed)
-        acc = float(a)
-        iters = float(it)
-        conv = float(cv)
+        th2, acc, iters, conv = run_chunks(
+            th, jax.random.fold_in(key, 2), n_timed)
         dt = time.perf_counter() - t0
         return (n_timed * C / dt, acc / (n_timed * C), iters / (n_timed * C),
                 conv == n_timed * C)
 
-    for (name, Nx, Nt, beta, m0, md, tau, C, n_timed) in POINTS:
+    for (name, Nx, Nt, beta, m0, md, tau, C, n_timed, integ,
+         max_it) in POINTS:
         if args.only and args.only not in name:
             continue
         lat = LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32")
         base = dict(beta=beta, m0=m0, md_steps=md, trajectory_length=tau,
-                    even_odd=True)
+                    even_odd=True, integrator=integ)
         for contract, cg in (
             ("loose_f32_tol1e-6",
-             CGParams(tol=1e-6, max_iter=10000)),
+             CGParams(tol=1e-6, max_iter=max_it)),
             ("refined_1e-10_dfloat",
-             CGParams(tol=1e-10, max_iter=10000, refine=True)),
+             CGParams(tol=1e-10, max_iter=max_it, refine=True)),
         ):
             model = SchwingerModel(
                 lattice=lat, hmc=HMCParams(**base, cg=cg))
+            anneal = (0.0, (0.0 + m0) / 2) if m0 < 0 else ()
             v, acc, iters, conv = run_packed(
-                model, C, Nx, Nt, args.n_therm, n_timed)
+                model, C, Nx, Nt, args.n_therm, n_timed, anneal=anneal)
             row = {"metric": f"hmc_traj_per_s_{name}",
                    "value": round(v, 3), "unit": "traj/s/chip",
                    "contract": contract, "lattice": f"{Nx}x{Nt}",
                    "beta": beta, "m0": m0, "md_steps": md, "tau": tau,
+                   "integrator": integ,
                    "chains": C, "acceptance": round(acc, 3),
                    "cg_iters_per_traj": round(iters, 1),
                    "all_converged": bool(conv),

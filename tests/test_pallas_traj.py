@@ -22,10 +22,11 @@ from schwingermodel_tpu.ops import eo, pallas_traj as pt
 from schwingermodel_tpu.utils import prng
 
 
-def _model32(Nx=8, Nt=8, m0=0.1, beta=2.0, integrator="leapfrog"):
+def _model32(Nx=8, Nt=8, m0=0.1, beta=2.0, integrator="leapfrog",
+             md_steps=6):
     return SchwingerModel(
         lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32"),
-        hmc=HMCParams(beta=beta, m0=m0, even_odd=True, md_steps=6,
+        hmc=HMCParams(beta=beta, m0=m0, even_odd=True, md_steps=md_steps,
                       trajectory_length=0.6, integrator=integrator,
                       packed=True,      # force the path off-TPU (interpret)
                       cg=CGParams(tol=1e-6, max_iter=2000)),
@@ -321,8 +322,8 @@ def test_chain_sharded_packed_matches_vmapped(rng):
         make_chain_sharded_packed_traj_fn,
     )
 
-    model = _model32()
-    C, Nx, Nt = 4, 8, 8
+    model = _model32(md_steps=4)
+    C, Nx, Nt = 2, 8, 8
     theta = _rand_theta(rng, C, Nx, Nt)
     keys = jax.vmap(lambda i: prng.trajectory_key(prng.root_key(31), i))(
         jnp.arange(C))

@@ -135,12 +135,12 @@ def test_runner_packed_fast_path():
     hmc32 = HMCParams(beta=2.0, m0=0.1, md_steps=6, trajectory_length=0.6,
                       even_odd=True, packed=True,
                       cg=CGParams(tol=1e-6, max_iter=2000))
-    res = run_hmc(lat32, hmc32, RunParams(n_therm=6, n_meas=8, n_chains=2,
+    res = run_hmc(lat32, hmc32, RunParams(n_therm=2, n_meas=4, n_chains=2,
                                           seed=3))
     assert res.acceptance_rate > 0.5
-    assert 0.4 < res.Ep < 0.95
+    assert 0.3 < res.Ep < 0.95
     assert np.isfinite(res.dEp)
-    assert np.asarray(res.chains["plaquette"]).size == 16
+    assert np.asarray(res.chains["plaquette"]).size == 8
 
 
 @pytest.mark.slow

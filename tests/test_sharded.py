@@ -29,9 +29,9 @@ from tests.conftest import random_spinor, random_theta
 # per-axis ring, and the 2D grid. The wider sweep (tall/wide/8-way) is
 # compile-bound and runs under `pytest -m meshes` (cold-suite wall-clock,
 # VERDICT r2 item 9).
-MESH_SHAPES = [(1, 1), (1, 2), (2, 2)] + [
+MESH_SHAPES = [(2, 2)] + [
     pytest.param(s, marks=pytest.mark.meshes)
-    for s in [(2, 1), (4, 2), (1, 8)]
+    for s in [(1, 1), (1, 2), (2, 1), (4, 2), (1, 8)]
 ]
 
 GEOM = Geometry()
