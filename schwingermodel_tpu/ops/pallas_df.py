@@ -492,6 +492,26 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
 
         r = true_residual(x)
         rho = dot_pc(r, r)
+        # forecast sanitizer: if the starting guess is WORSE than x = 0
+        # (e.g. the history was poisoned by a failed near-critical solve),
+        # fall back to x = 0 whose residual is b exactly -- free, and it
+        # breaks failure cascades through the chronological history
+        bad = rho > bnorm2
+        good = jnp.logical_not(bad)
+
+        def sel_plane(p, q):
+            return jnp.where(bad, p, q)
+
+        x = tuple(
+            tuple((sel_plane(jnp.zeros_like(hi), hi),
+                   sel_plane(jnp.zeros_like(lo), lo))
+                  for hi, lo in comps)
+            for comps in x)
+        r = tuple(
+            (sel_plane(bs[0], rs[0]), sel_plane(bs[1], rs[1]))
+            for bs, rs in zip(b, r))
+        rho = jnp.where(bad, bnorm2, rho)
+        del good
         rho_df = rho
         iters0 = jnp.zeros((1, N), jnp.int32)
 
