@@ -82,8 +82,12 @@ def main(argv=None) -> int:
     p.add_argument("--beta", type=float, default=2.0)
     p.add_argument("--nx", type=int, default=16)
     p.add_argument("--nt", type=int, default=16)
-    p.add_argument("--m0-list", default="-0.30,-0.26,-0.22,-0.18,-0.14")
-    p.add_argument("--md-steps", type=int, default=14)
+    # scan the SUBcritical side only (m0 > m_crit = -0.1968): beyond the
+    # critical mass Wilson HMC sits on exceptional configurations and the
+    # PCAC signal drowns; the zero crossing extrapolates linearly from
+    # m_q > 0 exactly as in the reference's source (Nucl. Phys. B 739)
+    p.add_argument("--m0-list", default="-0.18,-0.16,-0.14,-0.12,-0.10")
+    p.add_argument("--md-steps", type=int, default=20)
     p.add_argument("--tau", type=float, default=1.0)
     p.add_argument("--chains", type=int, default=8)
     p.add_argument("--n-therm", type=int, default=200)
@@ -93,6 +97,10 @@ def main(argv=None) -> int:
     p.add_argument("--n-skip", type=int, default=5,
                    help="decorrelation trajectories between blocks")
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--min-acceptance", type=float, default=0.5,
+                   help="points below this acceptance are reported but "
+                        "excluded from the zero-crossing fit (stuck "
+                        "chains bias the plateau)")
     p.add_argument("--json", default=None)
     p.add_argument("--markdown", default=None)
     args = p.parse_args(argv)
@@ -120,6 +128,8 @@ def main(argv=None) -> int:
         model = SchwingerModel(lattice=lat, hmc=HMCParams(
             beta=args.beta, m0=m0, md_steps=args.md_steps,
             trajectory_length=args.tau, even_odd=True, cg=cg))
+        import dataclasses
+
         key = prng.root_key(args.seed)
         thetas = jax.random.uniform(
             jax.random.fold_in(key, 11), (C, 2, Nx, Nt),
@@ -172,6 +182,27 @@ def main(argv=None) -> int:
             pp, ap, conv = jax.lax.map(one, thetas)
             return pp, ap, jnp.all(conv)
 
+        # anneal the thermalization through a safe mass (hot starts near
+        # m_crit otherwise stick on exceptional configurations)
+        if m0 < -0.05 and hp.packed_eligible(model):
+            for k, m0_a in enumerate((0.0, m0 / 2)):
+                m_a = dataclasses.replace(
+                    model, hmc=dataclasses.replace(model.hmc, m0=m0_a))
+
+                @functools.partial(jax.jit, static_argnames=("n",))
+                def block_a(th, k0, n, m_a=m_a):
+                    def body(carry, i):
+                        th = carry
+                        keys = jax.vmap(lambda c: jax.random.fold_in(
+                            prng.trajectory_key(k0, i), c))(jnp.arange(C))
+                        th, st = hp.hmc_trajectory_packed(m_a, th, keys)
+                        return th, jnp.sum(st.accepted)
+                    th, a = jax.lax.scan(body, th, jnp.arange(n))
+                    return th, jnp.sum(a)
+
+                th, a_ = block_a(th, jax.random.fold_in(key, 700 + k),
+                                 args.n_therm // 2)
+                float(a_)
         th, acc = block(th, key, args.n_therm)
         acc_count = float(acc)
         pps, aps = [], []
@@ -201,14 +232,19 @@ def main(argv=None) -> int:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    fit_rows = [r for r in rows
+                if r["acceptance"] >= args.min_acceptance]
+    dropped = [r["m0"] for r in rows if r not in fit_rows]
     m_crit, m_err, slope = fit_zero_crossing(
-        [r["m0"] for r in rows], [r["m_pcac"] for r in rows],
-        [r["err"] for r in rows])
+        [r["m0"] for r in fit_rows], [r["m_pcac"] for r in fit_rows],
+        [r["err"] for r in fit_rows])
     summary = {
         "metric": "critical_mass",
         "beta": args.beta, "lattice": f"{Nx}x{Nt}",
         "m_crit": round(m_crit, 5), "err": round(m_err, 5),
         "slope": round(slope, 4),
+        "fit_points": len(fit_rows),
+        "dropped_low_acceptance": dropped,
         "literature": {"beta2": -0.1968, "err": 0.0009,
                        "source": "reference README.md:105 "
                                  "(Nucl. Phys. B 739 (2006))"},
