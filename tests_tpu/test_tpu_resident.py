@@ -439,3 +439,43 @@ def test_solve_refined_fused_ru_contract_on_device(rng):
         r = _np_eo_normal(U, x128[c], 0.1) - phi_h[c]
         rel = np.linalg.norm(r.ravel()) / np.linalg.norm(phi_h[c].ravel())
         assert rel < 1e-10, (c, rel)
+
+
+def test_solve_refined_fused_mre_history_on_device(rng):
+    """The in-kernel MRE forecast (hist K=4, difference-space Gram-Schmidt)
+    produces a certified solve that is never worse than the K=1 start:
+    same contract, iterations <= the plain-start solve + GS noise slack."""
+    from schwingermodel_tpu.ops import pallas_traj as pt
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    model = _model(refine=True)
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _thetas(rng, C)
+    v = _spinor(rng, (C, 2, Nx, Nth))
+
+    @jax.jit
+    def go(th, vv):
+        phi = jax.vmap(lambda t, w: model.eo_ops(t).dhat(w))(th, vv)
+        E, O = pt.pack_chains(model.geom, th)
+        phi_p = pt.pack_even(phi)
+        base = pdf.solve_refined_fused(
+            E, O, phi_p, phi_p, m0=0.1, tol=1e-10, tau=1e-5,
+            max_iter=2000, max_outer=8, Nth=Nth)
+        # history: the exact solution, a perturbed copy, and junk -- MRE
+        # must pick the good directions and start essentially converged
+        hist = jnp.stack([
+            base.x,
+            base.x * jnp.float32(1.001),
+            phi_p,
+            jnp.zeros_like(phi_p),
+        ])
+        mre = pdf.solve_refined_fused(
+            E, O, phi_p, hist, m0=0.1, tol=1e-10, tau=1e-5,
+            max_iter=2000, max_outer=8, Nth=Nth)
+        return base.converged, base.iters, mre.converged, mre.iters
+
+    bc, bi, mc, mi = go(theta, v)
+    assert bool(jnp.all(bc)) and bool(jnp.all(mc))
+    # starting from span{x*, ...} the MRE solve needs only the df cleanup
+    assert int(jnp.max(mi)) <= int(jnp.max(bi)), (
+        np.asarray(mi), np.asarray(bi))
