@@ -162,7 +162,9 @@ def main(argv=None) -> int:
             return jnp.real(jnp.sum(y)) + 0.0 * jnp.sum(it), jnp.sum(it)
         return f
 
-    n1, n2 = 4, 24
+    # wide window: ~30 iters/solve x 300 extra solves integrates the
+    # per-iteration time well past the tunnel's ms-scale jitter
+    n1, n2 = 20, 320
     f1, f2 = make_cg_counting(n1), make_cg_counting(n2)
     t1 = timed(lambda *a: f1(*a)[0], theta, v_eo)
     t2 = timed(lambda *a: f2(*a)[0], theta, v_eo)
