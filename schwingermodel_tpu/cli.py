@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "under --cg-refine, else --cg-tol; the Metropolis "
                         "action solves always run at --cg-tol -- see "
                         "config.CGParams.force_tol)")
+    p.add_argument("--mre-history", type=int, default=0,
+                   help="refined-contract forecast history depth: >= 2 "
+                        "MRE-projects each solve's start onto the span of "
+                        "the last K solutions in-kernel; 0 = the 2nd-order "
+                        "extrapolation (default)")
     p.add_argument("--cg-refine-impl", choices=["auto", "x64", "dfloat"],
                    default="auto",
                    help="true-residual arithmetic: x64 (f64 emulation; "
@@ -249,7 +254,7 @@ def main(argv=None) -> int:
             beta=args.beta, m0=args.m0, md_steps=args.md_steps,
             trajectory_length=args.tau, quenched=args.quenched,
             even_odd=even_odd, cg_forecast=args.cg_forecast,
-            integrator=args.integrator,
+            integrator=args.integrator, mre_history=args.mre_history,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter,
                         refine=cg_refine, refine_impl=refine_impl,
                         inner_tol=args.cg_inner_tol,
