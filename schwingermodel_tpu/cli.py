@@ -328,6 +328,13 @@ def main(argv=None) -> int:
                    f"+ f64 refinement)" if hmc.cg.refine else "")
     echo(f"* CG max iterations = {hmc.cg.max_iter}, "
          f"CG tolerance = {hmc.cg.tol:g}{refine_desc}")
+    ftol = hmc.cg.resolved_force_tol()
+    if ftol != hmc.cg.tol:
+        # self-describing split-residual contract: action solves run at
+        # cg.tol, force solves at the resolved force tolerance
+        # (config.CGParams.force_tol; advisor round-4 finding)
+        echo(f"* CG force tolerance = {ftol:g} "
+             f"(action solves at {hmc.cg.tol:g})")
     mesh_desc = f"{rx}x{rt}" + (f" x {rc} chain groups" if rc > 1 else "")
     echo(f"* Device mesh = {mesh_desc} on {jax.default_backend()} "
           f"({len(jax.devices())} device(s) visible)")

@@ -33,6 +33,7 @@ class SimData:
         self, *, Nx, Nt, ranks_x, ranks_t, beta, n_therm, n_meas, n_steps,
         trajectory_length, md_steps, cg_max_iter, cg_tol, m0,
         start_time: str | None = None, host: str | None = None,
+        cg_force_tol: float | None = None,
     ) -> None:
         if start_time is None:
             start_time = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
@@ -55,6 +56,14 @@ class SimData:
         w.append(f"{cg_max_iter:>30}{_g17(cg_tol):>30}\n")
         w.append("#m0\n")
         w.append(f"{_g17(m0):>30}\n")
+        if cg_force_tol is not None and cg_force_tol != cg_tol:
+            # framework-only: the split-residual contract's resolved MD
+            # force tolerance (config.CGParams.force_tol; action solves run
+            # at cg_tol). Appended past the reference layout so runs are
+            # self-describing; omitted when there is no split, keeping the
+            # file byte-identical to the reference writer.
+            w.append("#CG force tolerance (MD solves)\n")
+            w.append(f"{_g17(cg_force_tol):>30}\n")
         with open(self.path, "w") as f:
             f.write("".join(w))
 

@@ -156,11 +156,12 @@ def meson_correlators(model: SchwingerModel, theta: jax.Array,
         C_A0P(t) = 2 Re sum_x (S S^+)_{01}   (tr[gamma0 S S^+])
 
     The PCAC quark mass follows as
-        m_PCAC(t) = [C_A0P(t+1) - C_A0P(t-1)] / (4 C_PP(t)),
-    linear in (m0 - m_crit) up to O(a) -- the zero crossing locates the
-    critical mass (tools/critical_mass.py). Single-device only (point
-    source); each spin column is one dirac_inverse solve at the model's
-    precision contract.
+        m_PCAC(t) = -[C_A0P(t+1) - C_A0P(t-1)] / (4 C_PP(t))
+    (the overall sign is a convention of this gamma basis, fixed so the
+    free-field plateau equals +m0 -- see pcac_mass), linear in
+    (m0 - m_crit) up to O(a); the zero crossing locates the critical mass
+    (tools/critical_mass.py). Single-device only (point source); each spin
+    column is one dirac_inverse solve at the model's precision contract.
     """
     Nx, Nt = model.lattice.Nx, model.lattice.Nt
     stats = SolveStats.zero()
@@ -182,14 +183,20 @@ def meson_correlators(model: SchwingerModel, theta: jax.Array,
 
 
 def pcac_mass(C_PP, C_A0P):
-    """m_PCAC(t) from the correlators (symmetric lattice derivative);
-    returns [Nt] with the boundary-adjacent entries included (the caller
-    picks a plateau window away from the source)."""
+    """m_PCAC(t) = -[C_A0P(t+1) - C_A0P(t-1)] / (4 C_PP(t)) (symmetric
+    lattice derivative; overall sign fixed so the free-field plateau equals
+    +m0 in this gamma basis, tests/test_observables.py::
+    test_pcac_mass_free_field). Returns [Nt] with the boundary-adjacent
+    entries included (the caller picks a plateau window away from the
+    source). Entries where C_PP <= 0 -- statistically impossible for the
+    exact pion correlator, so a pure noise artifact -- are returned as NaN
+    so they drop out of nanmean plateau averages instead of silently
+    flipping the ratio's sign."""
     import numpy as np
 
     C_PP = np.asarray(C_PP, np.float64)
     C_A0P = np.asarray(C_A0P, np.float64)
     dA = 0.5 * (np.roll(C_A0P, -1) - np.roll(C_A0P, 1))
-    # overall sign fixed so the free-field plateau equals +m0 in this gamma
-    # basis (tests/test_observables.py::test_pcac_mass_free_field)
-    return -dA / (2.0 * np.maximum(np.abs(C_PP), 1e-300) * np.sign(C_PP))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = -dA / (2.0 * C_PP)
+    return np.where(C_PP > 0.0, m, np.nan)

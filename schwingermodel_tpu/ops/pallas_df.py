@@ -348,10 +348,17 @@ def gauge_action_packed_df(thE: jax.Array, thO: jax.Array, beta: float,
 #     b - A_df x whenever ||r|| has contracted by `tau` since the last
 #     replacement (a handful of df applies per solve),
 # so the recursion converges to 1e-10 as one solve instead of 2-4 restarted
-# ones. The convergence flag still certifies the df true residual -- the
-# reference's own criterion (src/conjugate_gradient.cpp:45) at ~1e-15
-# resolution. Everything (f32 links, df links, CG loop, replacements) is
-# ONE Pallas program with state pinned in VMEM.
+# ones. With certify=True (the Metropolis ACTION solves) the convergence
+# flag certifies the df true residual -- the reference's own criterion
+# (src/conjugate_gradient.cpp:45) at ~1e-15 resolution. With certify=False
+# (the MD FORCE solves) the final contraction phase trusts the f32
+# recursive residual: the initial residual was df-exact and the recursion
+# drifts only by ~eps * the accumulated corrections, far below the looser
+# force tolerance for the short forecast-seeded recursions -- but the flag
+# is then "trusted", not df-certified (deep 1000+-iteration solves could in
+# principle drift past force_tol undetected; the accept/reject absorbs any
+# force error regardless). Everything (f32 links, df links, CG loop,
+# replacements) is ONE Pallas program with state pinned in VMEM.
 
 
 # The RU kernel holds df links (16 planes) + df x (8) + f32 CG state
@@ -540,20 +547,29 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
                                          dead < jnp.float32(0.5))
                 Ad = apply_A(d)
                 dAd = dot_pc(d, Ad)
+                alpha_raw = rho / dAd
+                # breakdown guards: non-positive f32 curvature, or alpha
+                # overflow on near-singular curvature (checked BEFORE the
+                # x/r updates so a dead chain's state stays finite)
                 broke = jnp.logical_and(
-                    active, jnp.logical_not(dAd > jnp.float32(0.0)))
+                    active,
+                    jnp.logical_or(jnp.logical_not(dAd > jnp.float32(0.0)),
+                                   jnp.logical_not(jnp.isfinite(alpha_raw))))
                 dead = jnp.maximum(dead, broke.astype(jnp.float32))
                 active = jnp.logical_and(active, jnp.logical_not(broke))
-                alpha = jnp.where(active, rho / dAd, jnp.float32(0.0))
+                alpha = jnp.where(active, alpha_raw, jnp.float32(0.0))
                 x = _xdf_axpy(x, alpha, d)
                 r = _spinor_axpbv(one, r, -alpha, Ad)
                 rho_c = dot_pc(r, r)
-                # alpha overflow on near-singular f32 curvature poisons r
-                # with inf/NaN: freeze such chains too
+                # a finite alpha can still overflow r through alpha*Ad:
+                # freeze such chains too, and drop them from `active` NOW so
+                # the beta/d/rho updates below can't store inf into d (which
+                # would NaN the next iteration's x += 0*d)
                 dead = jnp.maximum(
                     dead, jnp.logical_and(
                         active, jnp.logical_not(jnp.isfinite(rho_c))
                     ).astype(jnp.float32))
+                active = jnp.logical_and(active, jnp.isfinite(rho_c))
                 beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
                 d = tuple(
                     _csel(active,

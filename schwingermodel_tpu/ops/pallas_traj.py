@@ -302,11 +302,16 @@ def _cg_planes(apply_A, b, x0, dot_pc, tol, max_iter):
         active = jnp.logical_and(rho >= stop2, dead < jnp.float32(0.5))
         Ad = apply_A(d)
         dAd = dot_pc(d, Ad)
-        broke = jnp.logical_and(active,
-                                jnp.logical_not(dAd > jnp.float32(0.0)))
+        alpha_raw = rho / dAd
+        # guards checked BEFORE the x/r updates so a dead chain's state
+        # stays finite (non-positive curvature, alpha overflow)
+        broke = jnp.logical_and(
+            active,
+            jnp.logical_or(jnp.logical_not(dAd > jnp.float32(0.0)),
+                           jnp.logical_not(jnp.isfinite(alpha_raw))))
         dead = jnp.maximum(dead, broke.astype(jnp.float32))
         active = jnp.logical_and(active, jnp.logical_not(broke))
-        alpha = jnp.where(active, rho / dAd, jnp.float32(0.0))
+        alpha = jnp.where(active, alpha_raw, jnp.float32(0.0))
         x = _spinor_axpbv(one, x, alpha, d)
         r = _spinor_axpbv(one, r, -alpha, Ad)
         rho_c = dot_pc(r, r)
@@ -314,6 +319,10 @@ def _cg_planes(apply_A, b, x0, dot_pc, tol, max_iter):
             dead, jnp.logical_and(
                 active, jnp.logical_not(jnp.isfinite(rho_c))
             ).astype(jnp.float32))
+        # drop overflowed chains from `active` NOW so the beta/d/rho
+        # updates can't store inf into d (next iteration's x += 0*d would
+        # turn it into NaN)
+        active = jnp.logical_and(active, jnp.isfinite(rho_c))
         beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
         d = tuple(
             _csel(active, (rs[0] + beta * ds[0], rs[1] + beta * ds[1]), ds)

@@ -269,6 +269,7 @@ def run_hmc(
             n_steps=run.n_steps, trajectory_length=hmc.trajectory_length,
             md_steps=hmc.md_steps, cg_max_iter=hmc.cg.max_iter,
             cg_tol=hmc.cg.tol, m0=hmc.m0, host=host,
+            cg_force_tol=hmc.cg.resolved_force_tol(),
         )
 
     # ---- failure-time capture (reference src/hmc.cpp:48-56) ----

@@ -47,10 +47,13 @@ def pcac_plateau(C_PP: np.ndarray, C_A0P: np.ndarray, window):
     _, pp_jk = jackknife_bins(C_PP, n_bins)
     _, ap_jk = jackknife_bins(C_A0P, n_bins)
     t0, t1 = window
+    # nanmean: pcac_mass masks (statistically impossible) C_PP <= 0 noise
+    # artifacts as NaN instead of letting them flip the ratio's sign
     vals = np.array([
-        pcac_mass(pp_jk[i], ap_jk[i])[t0:t1].mean()
+        np.nanmean(pcac_mass(pp_jk[i], ap_jk[i])[t0:t1])
         for i in range(pp_jk.shape[0])])
-    center = pcac_mass(C_PP.mean(axis=0), C_A0P.mean(axis=0))[t0:t1].mean()
+    center = np.nanmean(
+        pcac_mass(C_PP.mean(axis=0), C_A0P.mean(axis=0))[t0:t1])
     err = float(np.sqrt((n_bins - 1) * np.var(vals)))
     return float(center), err
 

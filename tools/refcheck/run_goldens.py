@@ -77,19 +77,32 @@ def main() -> int:
     ap.add_argument("--nsteps", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "tests", "golden"))
     ap.add_argument("--workdir", default="/tmp/refcheck")
+    ap.add_argument("--point", action="append", default=None, metavar="SPEC",
+                    help="run only custom point(s) 'Nx,Nt,beta,m0,md,tau' "
+                         "(repeatable) and APPEND to an existing refphys.json "
+                         "instead of regenerating the default grid")
     args = ap.parse_args()
 
-    points = []
-    for L in (8, 16):
-        for beta in (1, 2, 3, 4, 5, 6):
-            md, tau = (10, 1.0) if beta < 5 else (40, 2.0)
-            points.append(dict(Nx=L, Nt=L, beta=float(beta), m0=0.2,
-                               md_steps=md, tau=tau, ntherm=args.ntherm,
-                               nmeas=args.nmeas, nsteps=args.nsteps))
-        # near-critical: m_crit(beta=2) = -0.1968(9) (README.md:105)
-        points.append(dict(Nx=L, Nt=L, beta=2.0, m0=-0.19, md_steps=20,
-                           tau=1.0, ntherm=args.ntherm, nmeas=args.nmeas,
-                           nsteps=args.nsteps))
+    if args.point:
+        points = []
+        for spec in args.point:
+            nx, nt, beta, m0, md, tau = spec.split(",")
+            points.append(dict(Nx=int(nx), Nt=int(nt), beta=float(beta),
+                               m0=float(m0), md_steps=int(md), tau=float(tau),
+                               ntherm=args.ntherm, nmeas=args.nmeas,
+                               nsteps=args.nsteps))
+    else:
+        points = []
+        for L in (8, 16):
+            for beta in (1, 2, 3, 4, 5, 6):
+                md, tau = (10, 1.0) if beta < 5 else (40, 2.0)
+                points.append(dict(Nx=L, Nt=L, beta=float(beta), m0=0.2,
+                                   md_steps=md, tau=tau, ntherm=args.ntherm,
+                                   nmeas=args.nmeas, nsteps=args.nsteps))
+            # near-critical: m_crit(beta=2) = -0.1968(9) (README.md:105)
+            points.append(dict(Nx=L, Nt=L, beta=2.0, m0=-0.19, md_steps=20,
+                               tau=1.0, ntherm=args.ntherm, nmeas=args.nmeas,
+                               nsteps=args.nsteps))
 
     binaries = {}
     os.makedirs(args.workdir, exist_ok=True)
@@ -97,6 +110,17 @@ def main() -> int:
     os.makedirs(raw_dir, exist_ok=True)
 
     results = []
+    if args.point:
+        # custom points append to (and replace same-config rows of) the grid
+        path = os.path.join(args.out, "refphys.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            keys = {(p["Nx"], p["Nt"], p["beta"], p["m0"], p["md_steps"],
+                     p["tau"]) for p in points}
+            results = [r for r in prev
+                       if (r["Nx"], r["Nt"], r["beta"], r["m0"],
+                           r["md_steps"], r["tau"]) not in keys]
     for i, p in enumerate(points):
         key = (p["Nx"], p["Nt"])
         if key not in binaries:
