@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MD scheme: the reference's leapfrog, or the "
                         "2nd-order minimum-norm Omelyan integrator (2 force "
                         "evals/step, ~10x smaller dH error constant)")
+    p.add_argument("--hasenbusch-dm", type=float, default=None,
+                   metavar="DM",
+                   help="Hasenbusch mass preconditioning: split the fermion "
+                        "determinant with a second pseudofermion at the "
+                        "heavier auxiliary mass m0+DM (restores acceptance "
+                        "near the critical mass; typical DM ~ 0.2-0.5). "
+                        "Off by default -- the reference's single-"
+                        "pseudofermion algorithm")
     p.add_argument("--no-even-odd", dest="even_odd", action="store_false",
                    default=True,
                    help="disable even-odd (Schur) preconditioning and use the "
@@ -255,6 +263,7 @@ def main(argv=None) -> int:
             trajectory_length=args.tau, quenched=args.quenched,
             even_odd=even_odd, cg_forecast=args.cg_forecast,
             integrator=args.integrator, mre_history=args.mre_history,
+            hasenbusch_dm=args.hasenbusch_dm,
             cg=CGParams(tol=cg_tol, max_iter=args.cg_max_iter,
                         refine=cg_refine, refine_impl=refine_impl,
                         inner_tol=args.cg_inner_tol,
@@ -317,6 +326,9 @@ def main(argv=None) -> int:
     echo("*                              PARAMETERS")
     echo(f"* Nx = {lattice.Nx}, Nt = {lattice.Nt}")
     echo(f"* m0 = {hmc.m0:g}, kappa = {kappa:g}")
+    if hmc.hasenbusch_dm:
+        echo(f"* Hasenbusch split: auxiliary mass m1 = "
+             f"{hmc.m0 + hmc.hasenbusch_dm:g} (dm = {hmc.hasenbusch_dm:g})")
     echo(f"* beta = {hmc.beta:g}" + ("  (quenched)" if hmc.quenched else ""))
     echo(f"* Thermalization confs = {run.n_therm}")
     echo(f"* Measurement confs = {run.n_meas}")

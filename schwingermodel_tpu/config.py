@@ -96,6 +96,16 @@ class CGParams:
     # the reference exactly).
     force_tol: Optional[float] = None
 
+    # f64-grade CG fallback on refinement stagnation: when the f32 inner
+    # solves hit their conditioning floor (kappa(A)*eps_f32 >~ 1 on the
+    # near-critical exceptional configurations -- docs/PERF.md round-4
+    # envelope note), continue the solve as a double-float (dfloat impl /
+    # packed RU kernel) or plain f64 (x64 impl) CG recursion from the
+    # refined state, so the shipped tol converges wherever the reference's
+    # own f64 CG does (src/conjugate_gradient.cpp:4-66). Zero cost when
+    # refinement converges (the fallback loops never execute).
+    fallback: bool = True
+
     def resolved_force_tol(self) -> float:
         if self.force_tol is not None:
             return self.force_tol
@@ -126,6 +136,23 @@ class HMCParams:
     # half the CG iterations on half-size fields. Requires even Nx, Nt.
     # The reference has no preconditioning (src/conjugate_gradient.cpp).
     even_odd: bool = False
+    # Hasenbusch mass preconditioning (two pseudofermion fields; new
+    # capability -- the reference runs single-pseudofermion HMC,
+    # src/hmc.cpp:159-160, whose acceptance collapses with volume near the
+    # critical mass, README.md:94). The determinant is split with a heavier
+    # auxiliary Wilson mass m1 = m0 + hasenbusch_dm:
+    #     det(D0 D0^+) = det(D1 D1^+) . det(D1^{-1} D0 D0^+ D1^{-+})
+    # (constant factors cancel in HMC), one pseudofermion per factor:
+    #     S1 = phi1^+ (D1 D1^+)^{-1} phi1          (heavy -- cheap solves)
+    #     S2 = (D1 phi2)^+ (D0 D0^+)^{-1} (D1 phi2)  (ratio -- light solves
+    #                                                against a smoothed rhs)
+    # The ratio term's force fluctuations are suppressed by ~the mass-gap
+    # ratio, restoring acceptance at the critical mass (Hasenbusch, Phys.
+    # Lett. B 519 (2001) 177). Exact: heat baths are phi1 = D1 chi1 and
+    # phi2 = D1^{-1} D0 chi2 (one heavy solve), so the sampled distribution
+    # is identical to single-pseudofermion HMC. None/0 = off. Typical
+    # dm ~ 0.2-0.5 near m_crit.
+    hasenbusch_dm: Optional[float] = None
     # Chronological forecasting: start each force CG from the previous MD
     # step's solution (and the final Hamiltonian solve from the last force
     # solve), instead of the reference's restart-from-b

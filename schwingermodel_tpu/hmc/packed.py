@@ -51,6 +51,7 @@ def packed_supported(model: SchwingerModel) -> bool:
         model.hmc.even_odd
         and not model.geom.is_sharded
         and not model.hmc.quenched
+        and not model.hasenbusch_active   # two-pf split: sampler path
         and model.lattice.rdtype == jnp.float32
         and model.hmc.integrator in ("leapfrog", "omelyan")
     )
@@ -143,6 +144,12 @@ def trajectory_packed_given_noise(
 
     ftol = float(model.hmc.cg.resolved_force_tol())
 
+    # double-float CG fallback on f32 breakdown (cg.fallback; the kernel's
+    # jaxpr is prohibitive to compile in interpret mode on CPU -- its
+    # correctness is asserted on-device in tests_tpu/ -- so the gate is
+    # TPU-only, matching where the packed path actually runs)
+    df_fb = bool(model.hmc.cg.fallback) and not interpret
+
     def solve_refined(thE, thO, b_p, hist_p, tol_, certify=True):
         from schwingermodel_tpu.ops import pallas_df as pdf
 
@@ -155,7 +162,7 @@ def trajectory_packed_given_noise(
         return pdf.solve_refined_fused(
             thE, thO, b_p, hist_p, m0=m0, tol=tol_, tau=inner_tol,
             max_iter=max_iter, max_outer=max_outer, Nth=Nth,
-            certify=certify, interpret=interpret)
+            certify=certify, df_fallback=df_fb, interpret=interpret)
 
     # --- forecast state fc ---
     # Chronological forecasting (Brower et al., chronological inversion).

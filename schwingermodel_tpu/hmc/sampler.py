@@ -81,9 +81,13 @@ def trajectory_given_noise(
     `dt` / `beta` may be traced scalar overrides of the static hmc values
     (step-size autotuning, beta scans share one compiled program)."""
     quenched = model.hmc.quenched
-    phi = None if quenched else model.pseudofermion(theta, chi)  # Phi = D chi
-
     stats = SolveStats.zero()
+    if quenched:
+        phi = None
+    else:
+        # Phi = D chi (src/hmc.cpp:159-160); a (phi1, phi2) pair under
+        # Hasenbusch (one heavy heat-bath solve, models.pseudofermion_fields)
+        phi, stats = model.pseudofermion_fields(theta, chi, stats)
 
     # --- old Hamiltonian ---
     kin_old = model.kinetic(pi)
@@ -105,11 +109,15 @@ def trajectory_given_noise(
             sf_old = s_hi + s_lo
         else:
             # f64 accumulation under x64 refinement; the squares of the
-            # f32 components are exact in f64
+            # f32 components are exact in f64. Under Hasenbusch chi carries
+            # the (chi1, chi2) pair axis: S1_old + S2_old = |chi1|^2 +
+            # |chi2|^2 exactly (models.pseudofermion_fields), so both axes
+            # sum here.
             acc_t = jnp.float64 if model._refine_active() else chi.real.dtype
+            axes = (-4, -3) if model.hasenbusch_active else -3
             sf_old = model.geom.gsum(jnp.sum(
                 jnp.real(chi).astype(acc_t) ** 2
-                + jnp.imag(chi).astype(acc_t) ** 2, axis=-3))
+                + jnp.imag(chi).astype(acc_t) ** 2, axis=axes))
     else:
         sf_old, stats = model.fermion_action(theta, phi, stats)
     H_old = kin_old + sg_old + sf_old

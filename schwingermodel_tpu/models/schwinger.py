@@ -92,17 +92,75 @@ class SchwingerModel:
             return self.eo_ops(theta).dhat(chi)
         return self.D(theta, chi)
 
+    # ---------- Hasenbusch mass preconditioning ----------
+
+    @property
+    def hasenbusch_active(self) -> bool:
+        """Two-pseudofermion (mass-preconditioned) determinant split
+        (config.HMCParams.hasenbusch_dm)."""
+        dm = self.hmc.hasenbusch_dm
+        return bool(dm) and not self.hmc.quenched
+
+    def heavy_model(self) -> "SchwingerModel":
+        """This model at the heavy auxiliary mass m1 = m0 + hasenbusch_dm
+        (hasenbusch off): every solver/precision/kernel dispatch is reused
+        verbatim for the heavy operator Dhat_1 / D_1."""
+        return dataclasses.replace(
+            self, hmc=dataclasses.replace(
+                self.hmc, m0=self.hmc.m0 + self.hmc.hasenbusch_dm,
+                hasenbusch_dm=None))
+
+    def pseudofermion_fields(self, theta: jax.Array, chi: jax.Array,
+                             stats: SolveStats):
+        """Pseudofermion heat bath from Gaussian noise chi; returns
+        (phi, stats).
+
+        Plain: phi = D chi (Dhat chi even-odd), src/hmc.cpp:159-160 -- no
+        solve, stats untouched. Hasenbusch: chi carries a leading pair axis
+        (chi_shape) and the result is (phi1, phi2) with
+
+            phi1 = D1 chi1                      (exact, like the reference)
+            phi2 = D1^{-1} D0 chi2              (ONE heavy solve at cg.tol)
+
+        so S1_old + S2_old = |chi1|^2 + |chi2|^2 exactly (the
+        exact_initial_fermion_action identity extends to both terms), and
+        the sampled gauge distribution is identical to the unsplit one.
+        """
+        if not self.hasenbusch_active:
+            return self.pseudofermion(theta, chi), stats
+        chi1 = chi[..., 0, :, :, :]
+        chi2 = chi[..., 1, :, :, :]
+        heavy = self.heavy_model()
+        phi1 = heavy.pseudofermion(theta, chi1)
+        b = self.pseudofermion(theta, chi2)            # D0 chi2
+        if self.hmc.even_odd:
+            ops1 = heavy.eo_ops(theta)
+            res = heavy._solve_eo(theta, ops1, b)
+            phi2 = ops1.dhat_dag(self._to_working(res.x))
+        else:
+            Uf = dops.fermion_links(self.links(theta), self.sign_mask(theta))
+            res = heavy._solve_full(theta, Uf, b)
+            phi2 = dops.dirac_dagger(
+                self.geom, Uf, self._to_working(res.x), heavy.hmc.m0)
+        return (phi1, phi2), stats.merge(res)
+
     def chi_shape(self, theta_shape) -> tuple:
         """Shape of the pseudofermion noise field chi for a given theta shape:
-        full-lattice spinor, or the even-packed half lattice in even-odd mode."""
+        full-lattice spinor, or the even-packed half lattice in even-odd
+        mode; under Hasenbusch a leading pair axis holds the two independent
+        noise fields (chi1, chi2)."""
         if self.hmc.even_odd:
             *lead, _, Nx, Nt = theta_shape
             if Nx % 2 or Nt % 2:
                 raise ValueError(
                     f"even-odd preconditioning needs even (local) lattice "
                     f"extents, got {Nx}x{Nt}")
-            return (*lead, 2, Nx, Nt // 2)
-        return tuple(theta_shape)
+            base = (*lead, 2, Nx, Nt // 2)
+        else:
+            base = tuple(theta_shape)
+        if self.hasenbusch_active:
+            return (*base[:-3], 2, *base[-3:])
+        return base
 
     def eo_ops(self, theta: jax.Array) -> eo.EOOperators:
         """Dhat/Dhat^+ for this configuration (even-odd mode, ops/eo.py)."""
@@ -176,6 +234,7 @@ class SchwingerModel:
                                     tol=self.hmc.cg.inner_tol)
             return res.x, res.iters
 
+        fb_iters = self._fallback_max_iter()
         if self._refine_impl() == "dfloat":
             from schwingermodel_tpu.ops.eo_df import EOOperatorsDF
             from schwingermodel_tpu.solvers.refine import cg_refine_df
@@ -185,7 +244,7 @@ class SchwingerModel:
             return cg_refine_df(
                 ops_df.normal, inner, b, self._dot_re,
                 tol=tol, max_outer=self.hmc.cg.max_outer,
-                x0=x0,
+                x0=x0, fallback_max_iter=fb_iters,
             )
 
         from schwingermodel_tpu.solvers.refine import cg_refine
@@ -195,9 +254,14 @@ class SchwingerModel:
         res = cg_refine(
             ops_hi.normal, inner, b, self._dot_re,
             tol=tol, max_outer=self.hmc.cg.max_outer,
-            x0=x0,
+            x0=x0, fallback_max_iter=fb_iters,
         )
         return res, None
+
+    def _fallback_max_iter(self) -> int:
+        """Iteration budget of the f64-grade CG fallback on refinement
+        stagnation (cg.fallback; solvers/refine.py), 0 = disabled."""
+        return int(self.hmc.cg.max_iter) if self.hmc.cg.fallback else 0
 
     def _use_fused_cg(self) -> bool:
         """Resolve HMCParams.fused_cg (None = auto; trace-time decision)."""
@@ -242,6 +306,20 @@ class SchwingerModel:
                 sync_pred=self.geom.sync_any,
                 interpret=jax.default_backend() != "tpu")
         return self._cg(self._eo_cg_operator(ops), b, x0, tol)
+
+    def _use_fused_sharded_force(self, ops: "eo.EOOperators", beta) -> bool:
+        """The fused per-shard force kernel applies: lattice-sharded mesh
+        with wide-halo-capable local blocks, f32 working dtype, the fused
+        sharded path enabled, and a STATIC beta (the kernel bakes it in;
+        traced beta overrides -- beta scans -- keep the jnp force)."""
+        from schwingermodel_tpu.ops import pallas_halo
+
+        if not self.geom.is_sharded or not isinstance(beta, float):
+            return False
+        Nx_l, Nth_l = ops.Ue.shape[-2:]
+        return (pallas_halo.fused_supported(
+                    self.geom, Nx_l, Nth_l, self.lattice.rdtype)
+                and self._use_fused_sharded())
 
     def _use_fused_sharded(self) -> bool:
         """fused_cg semantics for the SHARDED fused apply (ops/pallas_halo):
@@ -304,6 +382,7 @@ class SchwingerModel:
             res = self._cg(apply_lo, rhs, x0_lo, self.hmc.cg.inner_tol)
             return res.x, res.iters
 
+        fb_iters = self._fallback_max_iter()
         if self._refine_impl() == "dfloat":
             from schwingermodel_tpu.ops.eo_df import FullOperatorsDF
             from schwingermodel_tpu.solvers.refine import cg_refine_df
@@ -311,7 +390,8 @@ class SchwingerModel:
             ops_df = FullOperatorsDF(self.geom, theta, m0, self.lattice.Nt)
             return cg_refine_df(
                 ops_df.normal, inner, b, self._dot_re,
-                tol=tol, max_outer=self.hmc.cg.max_outer, x0=x0)
+                tol=tol, max_outer=self.hmc.cg.max_outer, x0=x0,
+                fallback_max_iter=fb_iters)
 
         from schwingermodel_tpu.solvers.refine import cg_refine
 
@@ -322,7 +402,8 @@ class SchwingerModel:
 
         res = cg_refine(
             apply_hi, inner, b, self._dot_re,
-            tol=tol, max_outer=self.hmc.cg.max_outer, x0=x0)
+            tol=tol, max_outer=self.hmc.cg.max_outer, x0=x0,
+            fallback_max_iter=fb_iters)
         return res, None
 
     def _solve_full(self, theta: jax.Array, Uf: jax.Array, b: jax.Array,
@@ -420,6 +501,8 @@ class SchwingerModel:
         U = self.links(theta)
         if self.hmc.quenched or phi is None:
             return gops.gauge_force(self.geom, U, beta), stats, None
+        if self.hasenbusch_active:
+            return self._force_hasenbusch(theta, phi, stats, beta, x0)
         m0 = self.hmc.m0
 
         if self.hmc.even_odd:
@@ -431,6 +514,16 @@ class SchwingerModel:
             # by the f32 links anyway); psi itself is returned at solve
             # precision so chronological forecasting keeps the f64 guess
             psi_w = self._to_working(psi)
+            if self._use_fused_sharded_force(ops, beta):
+                # lattice-sharded fast path: chi' + fermion force + staple
+                # force as ONE kernel per shard (ops/pallas_halo.py) -- the
+                # sharded MD step is kernels + ppermutes end-to-end
+                from schwingermodel_tpu.ops import pallas_halo
+
+                F = pallas_halo.force_halo_fused(
+                    self.geom, ops.Uf, m0, psi_w, float(beta),
+                    interpret=jax.default_backend() != "tpu")
+                return F, stats.merge(res), psi
             chi_p = ops.dhat_dag(psi_w)
             F = eo.eo_fermion_force(
                 self.fermion_links, self.geom, m0, theta, psi_w, chi_p)
@@ -446,6 +539,63 @@ class SchwingerModel:
         F = dops.fermion_force(self.geom, Uf, psi_w, chi_p)
         F = F + gops.gauge_force(self.geom, U, beta)
         return F, stats.merge(res), psi
+
+    def _force_hasenbusch(self, theta: jax.Array, phi_pair, stats: SolveStats,
+                          beta, x0_pair):
+        """Two-pseudofermion MD force (config.HMCParams.hasenbusch_dm).
+
+        Term 1 (heavy): the standard pseudofermion force at mass m1 --
+        well-conditioned, cheap solves. Term 2 (ratio): for
+        S2 = (D1 phi2)^+ (D0 D0^+)^{-1} (D1 phi2) the variation at fixed
+        psi2 = (D0 D0^+)^{-1} D1 phi2, chi2' = D0^+ psi2 gives
+        F2 = grad_theta [2 Re<psi2, D0 chi2'> - 2 Re<psi2, D1 phi2>]
+        (ops.eo.eo_ratio_force even-odd; for the full operator the two
+        bilinears share the mass-independent hopping gradient, so
+        F2 = fermion_force(psi2, chi2' - phi2) -- Eqs (37)-(38) with the
+        combined right vector). Chronological forecasting threads
+        (psi1, psi2) as a pair."""
+        phi1, phi2 = phi_pair
+        x01, x02 = (None, None) if x0_pair is None else x0_pair
+        heavy = self.heavy_model()
+        m0, m1 = self.hmc.m0, heavy.hmc.m0
+        ftol = self.hmc.cg.resolved_force_tol()
+        U = self.links(theta)
+        F = gops.gauge_force(self.geom, U, beta)
+
+        if self.hmc.even_odd:
+            ops1 = heavy.eo_ops(theta)
+            ops0 = self.eo_ops(theta)
+            res1 = heavy._solve_eo(theta, ops1, phi1, x0=x01, tol=ftol)
+            psi1_w = self._to_working(res1.x)
+            chi1_p = ops1.dhat_dag(psi1_w)
+            F = F + eo.eo_fermion_force(
+                self.fermion_links, self.geom, m1, theta, psi1_w, chi1_p)
+            stats = stats.merge(res1)
+
+            b2 = ops1.dhat(phi2)                       # Dhat_1 phi2
+            res2 = self._solve_eo(theta, ops0, b2, x0=x02, tol=ftol)
+            psi2_w = self._to_working(res2.x)
+            chi2_p = ops0.dhat_dag(psi2_w)
+            F = F + eo.eo_ratio_force(
+                self.fermion_links, self.geom, m0, m1, theta, psi2_w,
+                chi2_p, phi2)
+            return F, stats.merge(res2), (res1.x, res2.x)
+
+        Uf = dops.fermion_links(U, self.sign_mask(theta))
+        res1 = heavy._solve_full(theta, Uf, phi1, x0=x01, tol=ftol)
+        psi1_w = self._to_working(res1.x)
+        chi1_p = dops.dirac_dagger(self.geom, Uf, psi1_w, m1)
+        F = F + dops.fermion_force(self.geom, Uf, psi1_w, chi1_p)
+        stats = stats.merge(res1)
+
+        b2 = dops.dirac(self.geom, Uf, phi2, m1)       # D_1 phi2
+        res2 = self._solve_full(theta, Uf, b2, x0=x02, tol=ftol)
+        psi2_w = self._to_working(res2.x)
+        chi2_p = dops.dirac_dagger(self.geom, Uf, psi2_w, m0)
+        # grad_theta 2Re<psi, D(m) v> is mass-independent (the Wilson mass
+        # enters D only diagonally), so the two ratio bilinears combine
+        F = F + dops.fermion_force(self.geom, Uf, psi2_w, chi2_p - phi2)
+        return F, stats.merge(res2), (res1.x, res2.x)
 
     # ---------- energies ----------
 
@@ -474,7 +624,26 @@ class SchwingerModel:
 
         Under cg.refine the solution is f64-accurate, and the action dot
         runs in f64 (conj(phi)*x promotes), so S_f enters the Metropolis
-        dH at the reference's solver precision."""
+        dH at the reference's solver precision.
+
+        Hasenbusch (phi = (phi1, phi2) pair): S_f = S1 + S2 with
+        S1 = phi1^+(D1 D1^+)^{-1}phi1 (heavy) and
+        S2 = b2^+(D0 D0^+)^{-1}b2, b2 = D1 phi2 (ratio) -- each through
+        this same precision dispatch; x0 forwards the (psi1, psi2) pair."""
+        if self.hasenbusch_active and isinstance(phi, tuple):
+            phi1, phi2 = phi
+            x01, x02 = (None, None) if x0 is None else x0
+            heavy = self.heavy_model()
+            s1, stats = heavy.fermion_action(theta, phi1, stats, x0=x01)
+            if self.hmc.even_odd:
+                b2 = heavy.eo_ops(theta).dhat(phi2)
+            else:
+                Uf = dops.fermion_links(self.links(theta),
+                                        self.sign_mask(theta))
+                b2 = dops.dirac(self.geom, Uf, phi2, heavy.hmc.m0)
+            # array phi -> falls through to the single-term path below
+            s2, stats = self.fermion_action(theta, b2, stats, x0=x02)
+            return s1 + s2, stats
         if self._refine_active() and self._refine_impl() == "dfloat":
             # df impl: the solution's f64-grade accuracy lives in the df
             # pair; dot it with phi in df so S_f enters dH at solve grade

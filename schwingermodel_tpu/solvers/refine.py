@@ -55,6 +55,44 @@ def to_c64(v: jax.Array) -> jax.Array:
                            jnp.imag(v).astype(jnp.float32))
 
 
+def _f64_cg_finish(apply_A_hi, b_hi, x, r, rho, stop2, dot_re_hi,
+                   max_iter: int):
+    """Plain f64 CG continuation from (x, r): the conditioning-envelope
+    fallback of cg_refine. Engaged only while rho >= stop2 -- when the
+    refinement already converged the loop body never executes and this
+    costs nothing. Lifts the attainable residual from the f32 inner-solve
+    floor (~kappa * eps_f32) to the reference's own f64 floor, i.e. the
+    refined contract converges wherever the reference's plain f64 CG does
+    (src/conjugate_gradient.cpp:4-66, tol criterion :45)."""
+
+    def cond(carry):
+        _, _, _, rho, k = carry
+        return jnp.logical_and(rho >= stop2, k < max_iter)
+
+    def body(carry):
+        x, r, d, rho, k = carry
+        Ad = apply_A_hi(d)
+        dAd = dot_re_hi(d, Ad)
+        alpha = rho / dAd
+        x = x + alpha * d
+        r = r - alpha * Ad
+        rho_new = dot_re_hi(r, r)
+        beta = rho_new / rho
+        d = r + beta * d
+        return (x, r, d, rho_new, k + 1)
+
+    x, r, _, rho, k = lax.while_loop(cond, body, (x, r, r, rho, jnp.int32(0)))
+    # certify on the true residual whenever the recursion actually ran
+    # (k iterations of recursive-residual drift are otherwise unchecked)
+    def certify(args):
+        x, _, _ = args
+        r = b_hi - apply_A_hi(x)
+        return x, r, dot_re_hi(r, r)
+
+    x, r, rho = lax.cond(k > 0, certify, lambda a: a, (x, r, rho))
+    return x, r, rho, k
+
+
 def cg_refine(
     apply_A_hi: Callable[[jax.Array], jax.Array],
     inner_solve: Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]],
@@ -64,6 +102,7 @@ def cg_refine(
     tol: float = 1e-10,
     max_outer: int = 8,
     x0: jax.Array | None = None,
+    fallback_max_iter: int = 0,
 ) -> CGResult:
     """Solve A x = b to f64 relative tolerance `tol` via iterative refinement.
 
@@ -77,7 +116,11 @@ def cg_refine(
     Returns CGResult with x in complex128, iters = total inner iterations,
     converged/rel_residual measured on the f64 true residual. Stagnation
     (a pass contracting the residual by < 2x) terminates early with
-    converged=False rather than burning max_outer passes.
+    converged=False rather than burning max_outer passes -- unless
+    fallback_max_iter > 0, in which case a plain f64 CG recursion finishes
+    the solve from the refined state (_f64_cg_finish): the refined contract
+    then converges wherever the reference's own f64 CG does, at any
+    conditioning the f32 inner solves cannot handle.
     """
     b_hi = to_c128(b)
     if x0 is None:
@@ -110,9 +153,155 @@ def cg_refine(
         cond, body,
         (x, r, rho, jnp.full_like(rho, jnp.inf), jnp.int32(0), jnp.int32(0)))
 
+    if fallback_max_iter > 0:
+        x, r, rho, k_fb = _f64_cg_finish(
+            apply_A_hi, b_hi, x, r, rho, stop2, dot_re_hi, fallback_max_iter)
+        iters = iters + k_fb
+
     rel = jnp.sqrt(rho) * lax.rsqrt(
         jnp.maximum(b_norm2, jnp.finfo(rho.dtype).tiny))
     return CGResult(x=x, iters=iters, converged=rho < stop2, rel_residual=rel)
+
+
+def _df_cg_finish(normal_df, b_df, x, r, rho, stop2, b_norm2, dot_re,
+                  max_iter: int, tau: float = 1e-5):
+    """Double-float CG continuation from the refined state x (DFComplex):
+    the conditioning-envelope fallback of cg_refine_df.
+
+    The recursion's VECTOR state runs at df grade (unit roundoff ~2^-49 ~
+    1.8e-15, solvers/dfloat.py) while the search direction d and the scalar
+    coefficients stay f32 -- harmless, because x and r are updated with the
+    SAME rounded alpha*d / alpha*Ad pair, so the invariant r = b - A x
+    holds to the df vector precision regardless of scalar precision. That
+    lifts the attainable relative residual from ~kappa * eps_f32 (where the
+    f32 inner solves of the refinement stagnate, docs/PERF.md round-4
+    envelope note) to ~kappa * eps_df -- f64 grade, matching the
+    reference's plain double CG (src/conjugate_gradient.cpp:4-66).
+
+    COMPILATION HAZARD (the reason for this function's flat shape): df
+    arithmetic placed inside a lax.cond branch or in the body of an OUTER
+    while_loop that nests an inner one was observed to lose its error-free
+    transforms on XLA:CPU -- the "true residual" computed there came out
+    f32-grade (~1e-4 relative) while the identical expression at top level
+    (or inside a single non-nested while body) was df-exact (~1e-15).
+    Everything here is therefore a fixed number of FLAT while_loops (the
+    recursion) with the df TRUE-residual certifications at top level
+    between them; tests/test_refine.py's ill-conditioned gate locks the
+    achieved accuracy.
+
+    Each round runs the recursion toward its certified target, then a
+    top-level df true residual replaces/certifies and restarts the
+    direction; the exit rho is always df-certified. When the refinement
+    already converged the recursion loops never execute and only the
+    _CERT_ROUNDS certification applies run -- a few df applies, small next
+    to any real solve. Breakdown (non-positive f32 curvature / overflow)
+    or certified stagnation (a round contracting < 4x) freezes the state
+    -> converged=False upstream.
+    """
+    from schwingermodel_tpu.solvers.dfloat import (
+        dfc_from_c, dfc_scale_f, dfc_sub, dfc_to_c, DFComplex, two_prod,
+    )
+
+    def axpy_df(xd: DFComplex, alpha, d_c):
+        # x += alpha * d, error-free: two_prod products, df accumulate
+        from schwingermodel_tpu.solvers.dfloat import df_add
+
+        return DFComplex(
+            df_add(xd.re, two_prod(alpha, jnp.real(d_c))),
+            df_add(xd.im, two_prod(alpha, jnp.imag(d_c))))
+
+    def round_loop(x, r, d, rho, tgt, need, k):
+        """One flat recursion round: guarded df-CG steps while need and
+        rho >= tgt. Returns the advanced state (dead chains frozen)."""
+
+        def cond(c):
+            _, _, _, rho, k, dead = c
+            return jnp.logical_and(
+                jnp.logical_and(rho >= tgt, k < max_iter),
+                jnp.logical_not(dead))
+
+        def body(c):
+            x, r, d, rho, k, _ = c
+            Ad = normal_df(dfc_from_c(d))
+            Ad_c = dfc_to_c(Ad)
+            dAd = dot_re(d, Ad_c)
+            alpha = rho / dAd
+            broke = jnp.logical_or(
+                jnp.logical_not(dAd > 0.0),
+                jnp.logical_not(jnp.isfinite(alpha)))
+            alpha = jnp.where(broke, jnp.zeros_like(alpha), alpha)
+            x = axpy_df(x, alpha, d)
+            r = dfc_sub(r, dfc_scale_f(Ad, alpha))
+            r_c = dfc_to_c(r)
+            rho_new = dot_re(r_c, r_c)
+            broke = jnp.logical_or(
+                broke, jnp.logical_not(jnp.isfinite(rho_new)))
+            rho_new = jnp.where(broke, rho, rho_new)
+            beta = jnp.where(broke, jnp.zeros_like(rho), rho_new / rho)
+            d = jnp.where(broke, d, r_c + beta * d)
+            return (x, r, d, rho_new, k + 1, broke)
+
+        dead0 = jnp.logical_not(need)
+        return lax.while_loop(cond, body, (x, r, d, rho, k, dead0))
+
+    tau2 = jnp.asarray(tau * tau, rho.dtype)
+    # a df recursion can be trusted ~as deep as its eps allows without
+    # intermediate replacements (the drift floor IS the attainable floor),
+    # so each round chases tau^2 below the last certified residual (floored
+    # a little under the final target) and two rounds reach any reachable
+    # target.
+    _CERT_ROUNDS = 2
+    # re-certify the handoff state at top level: the refinement loop's own
+    # carried (r, rho) can be inconsistent with x by O(its stall level)
+    # under the compilation hazard above, and a CG recursion started from
+    # an inconsistent residual converges to a correspondingly wrong
+    # solution (observed: round-1 certification contracting < 4x -> false
+    # stagnation). One extra df apply, paid unconditionally.
+    r = dfc_sub(b_df, normal_df(x))
+    r_c = dfc_to_c(r)
+    rho = dot_re(r_c, r_c)
+    # zero-restart when the handoff solution is worse than x = 0 (a
+    # diverged refinement): x = 0 has residual exactly b
+    bad0 = rho > b_norm2
+
+    def z(p):
+        return jnp.where(bad0, jnp.zeros_like(p), p)
+
+    x = DFComplex((z(x.re[0]), z(x.re[1])), (z(x.im[0]), z(x.im[1])))
+    r = DFComplex(
+        (jnp.where(bad0, b_df.re[0], r.re[0]),
+         jnp.where(bad0, b_df.re[1], r.re[1])),
+        (jnp.where(bad0, b_df.im[0], r.im[0]),
+         jnp.where(bad0, b_df.im[1], r.im[1])))
+    r_c = dfc_to_c(r)
+    rho = jnp.where(bad0, b_norm2, rho)
+    need = rho >= stop2
+    d = r_c
+    k = jnp.int32(0)
+    for _ in range(_CERT_ROUNDS):
+        tgt = jnp.maximum(stop2 * 0.0625, tau2 * rho)
+        x_n, r_n, d_n, rho_n, k, _ = round_loop(x, r, d, rho, tgt, need, k)
+        # top-level df certification (see hazard note); `need` masks the
+        # state update so converged/poisoned entries keep their state
+        rt = dfc_sub(b_df, normal_df(x_n))
+        rt_c = dfc_to_c(rt)
+        rho_t = dot_re(rt_c, rt_c)
+        stalled = jnp.logical_and(need, rho_t * 4.0 > rho)
+        # adopt the round's result only if it IMPROVED the certified
+        # residual: a diverged recursion (possible before the breakdown
+        # guards trip at extreme kappa) must not poison the caller's x
+        adopt = jnp.logical_and(need, rho_t < rho)
+
+        def sel(a, b):
+            return jax.tree.map(lambda u, v: jnp.where(adopt, u, v), a, b)
+
+        x = sel(x_n, x)
+        r = sel(rt, r)
+        d = jnp.where(adopt, rt_c, d)
+        rho = jnp.where(adopt, rho_t, rho)
+        need = jnp.logical_and(
+            need, jnp.logical_and(rho >= stop2, jnp.logical_not(stalled)))
+    return x, rho, k
 
 
 def cg_refine_df(
@@ -124,6 +313,7 @@ def cg_refine_df(
     tol: float = 1e-10,
     max_outer: int = 8,
     x0: jax.Array | None = None,
+    fallback_max_iter: int = 0,
 ):
     """Iterative refinement with the TRUE residual in double-float (df)
     arithmetic -- f64-grade accuracy with only f32 ops, for TPUs where x64
@@ -141,7 +331,11 @@ def cg_refine_df(
     Returns (CGResult with x = complex64 round of the df solution, x_df).
     The convergence flag certifies ||r||_df < tol ||b|| -- the reference's
     own criterion (src/conjugate_gradient.cpp:45) measured at ~1e-15
-    resolution. Same stagnation early-exit as cg_refine.
+    resolution. Same stagnation early-exit as cg_refine, unless
+    fallback_max_iter > 0: then a double-float CG recursion
+    (_df_cg_finish) continues from the refined state, lifting the
+    conditioning envelope from ~kappa*eps_f32 to ~kappa*eps_df (f64 grade)
+    so the contract converges wherever the reference's f64 CG does.
     """
     from schwingermodel_tpu.solvers.dfloat import (
         DFComplex, dfc_from_c, dfc_sub, dfc_to_c, dfc_add,
@@ -178,6 +372,13 @@ def cg_refine_df(
     x, r, rho, _, k, iters = lax.while_loop(
         cond, body,
         (x, r, rho, jnp.full_like(rho, jnp.inf), jnp.int32(0), jnp.int32(0)))
+
+    if fallback_max_iter > 0:
+        # r is the df TRUE residual of x here (recomputed each pass above)
+        x, rho, k_fb = _df_cg_finish(
+            normal_df, b_df, x, r, rho, stop2, b_norm2, dot_re,
+            fallback_max_iter)
+        iters = iters + k_fb
 
     rel = jnp.sqrt(rho) * lax.rsqrt(
         jnp.maximum(b_norm2, jnp.finfo(rho.dtype).tiny))

@@ -46,8 +46,11 @@ def compare_point(ref: dict, args) -> dict:
     nmeas = args.nmeas or ref["nmeas"]
     lattice = LatticeParams(Nx=ref["Nx"], Nt=ref["Nt"], real_dtype=dtype)
     hmc = HMCParams(
-        beta=ref["beta"], m0=ref["m0"], md_steps=ref["md_steps"],
+        beta=ref["beta"], m0=ref["m0"],
+        md_steps=args.md_steps or ref["md_steps"],
         trajectory_length=ref["tau"], even_odd=args.even_odd,
+        integrator=args.integrator,
+        hasenbusch_dm=args.hasenbusch_dm,
         cg=CGParams(tol=1e-10 if (dtype == "float64" or args.refine) else 1e-6,
                     max_iter=10000, refine=args.refine),
     )
@@ -131,6 +134,16 @@ def main(argv=None) -> int:
                         "acceptance is an algorithm property of the FULL-D "
                         "action and is not comparable under the Schur-"
                         "preconditioned pseudofermions)")
+    p.add_argument("--hasenbusch-dm", type=float, default=None,
+                   help="run with Hasenbusch mass preconditioning (two "
+                        "pseudofermions at auxiliary mass m0+DM); forces "
+                        "--plaquette-only -- the acceptance is a property "
+                        "of the improved algorithm, not the reference's")
+    p.add_argument("--md-steps", type=int, default=None,
+                   help="override the golden's MD step count (sensible "
+                        "with --hasenbusch-dm: the split needs fewer)")
+    p.add_argument("--integrator", choices=["leapfrog", "omelyan"],
+                   default="leapfrog")
     p.add_argument("--n-sigma", type=float, default=2.0)
     p.add_argument("--n-sigma-acc", type=float, default=3.0,
                    help="acceptance gate (binomial, autocorrelation slack)")
@@ -138,6 +151,8 @@ def main(argv=None) -> int:
     p.add_argument("--markdown", default=None)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
+    if args.hasenbusch_dm is not None:
+        args.plaquette_only = True
 
     if args.platform:
         import jax

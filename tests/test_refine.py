@@ -168,3 +168,92 @@ def test_refined_trajectory_dH_matches_f64(rng):
 
     assert st32.delta_H.dtype == jnp.float64  # Metropolis-grade energies
     assert abs(float(st32.delta_H) - float(st64.delta_H)) < 5e-4
+
+
+# ---------- conditioning-envelope fallback (cg.fallback) ----------
+#
+# A deterministic near-singular fixture: for the conftest rng's first
+# random 8x8 configuration, the full Wilson operator has a real eigenvalue
+# crossing at m0 = -0.53215006 (dense-eig of -H/2; D = (m0+2) - H/2 is
+# singular when m0+2 meets a real eigenvalue of H/2). At m0 = that + 1e-2
+# kappa(Dhat Dhat^+) ~ 2e5: far beyond the f32 inner solves' envelope
+# (refinement stagnates ~1e-4) yet comfortably inside f64's -- exactly the
+# near-critical exceptional-configuration regime of docs/PERF.md.
+
+M0_SING = -0.53215006
+
+
+def _ill_model(refine_impl, fallback, delta):
+    return SchwingerModel(
+        lattice=LatticeParams(Nx=8, Nt=8, real_dtype="float32"),
+        hmc=HMCParams(
+            beta=2.0, m0=M0_SING + delta, even_odd=True,
+            cg=CGParams(tol=TOL, max_iter=4000, refine=True,
+                        refine_impl=refine_impl, fallback=fallback),
+        ),
+    )
+
+
+# (refine_impl, mass offset from the singular point, the residual bar the
+# fallback must beat). dfloat's envelope breaks first (its XLA-level x
+# accumulation floors near f32 grade on this backend), so kappa ~ 2e5
+# already separates off/on, and the df recursion fully certifies 1e-10.
+# The x64 refinement survives to kappa ~ 2e7; at kappa ~ 2e8 (delta 3e-4)
+# its f32 inner solves get nowhere (rel ~ 1) and the f64 CG continuation
+# reaches the honest f64 drift floor ~ eps_f64 * kappa ~ 3e-9 -- the same
+# depth the reference's f64 CG attains there (its recursive criterion
+# would *report* 1e-10, ours certifies the true residual and says False).
+@pytest.mark.parametrize("refine_impl,delta,bar,want_conv", [
+    ("dfloat", 1e-2, 2 * TOL, True),
+    ("x64", 3e-4, 1e-8, False),
+])
+def test_fallback_lifts_conditioning_envelope(rng, refine_impl, delta, bar,
+                                              want_conv):
+    """Without cg.fallback the f32-inner refinement stagnates far above
+    the 1e-10 contract on the near-singular fixture; with it the df/f64 CG
+    continuation reaches f64-grade depth -- certified against the
+    independent f64 operator. Matches the reference's own f64 CG
+    capability (src/conjugate_gradient.cpp:4-66)."""
+    theta = jnp.asarray(random_theta(rng, 8, 8), dtype=jnp.float32)
+    b = jnp.asarray(
+        (rng.standard_normal((2, 8, 4)) + 1j * rng.standard_normal((2, 8, 4))),
+        dtype=jnp.complex64)
+
+    off = _ill_model(refine_impl, False, delta)
+    res_off = off._solve_eo(theta, off.eo_ops(theta), b)
+    assert not bool(res_off.converged)
+    assert _true_rel_residual_eo(off, theta, b, res_off.x) > 1e-6
+
+    on = _ill_model(refine_impl, True, delta)
+    res_on = on._solve_eo(theta, on.eo_ops(theta), b)
+    assert bool(res_on.converged) == want_conv
+    if refine_impl == "dfloat":
+        # certify the df pair (the c64 round of x alone cannot carry 1e-10)
+        _, x_df = on._solve_eo_refined(theta, on.eo_ops(theta), b)
+        x = (x_df.re[0].astype(jnp.float64) + x_df.re[1].astype(jnp.float64)
+             ) + 1j * (x_df.im[0].astype(jnp.float64)
+                       + x_df.im[1].astype(jnp.float64))
+    else:
+        x = res_on.x
+    assert _true_rel_residual_eo(on, theta, b, x) < bar
+
+
+def test_fallback_costs_nothing_when_converged(rng):
+    """On a well-conditioned system the fallback recursion never iterates:
+    same certified result, no iteration-count blowup."""
+    theta = jnp.asarray(random_theta(rng, 8, 8), dtype=jnp.float32)
+    b = jnp.asarray(
+        (rng.standard_normal((2, 8, 4)) + 1j * rng.standard_normal((2, 8, 4))),
+        dtype=jnp.complex64)
+    on = _model()          # m0 = 0.1, fallback defaults True
+    off = SchwingerModel(
+        lattice=on.lattice,
+        hmc=HMCParams(beta=2.0, m0=0.1, even_odd=True,
+                      cg=CGParams(tol=TOL, max_iter=10000, refine=True,
+                                  fallback=False)))
+    res_on = on._solve_eo(theta, on.eo_ops(theta), b)
+    res_off = off._solve_eo(theta, off.eo_ops(theta), b)
+    assert bool(res_on.converged) and bool(res_off.converged)
+    assert _true_rel_residual_eo(on, theta, b, res_on.x) < 2 * TOL
+    # identical convergence path: the fallback loop body never executed
+    assert int(res_on.iters) <= int(res_off.iters) + 4

@@ -479,3 +479,71 @@ def test_solve_refined_fused_mre_history_on_device(rng):
     # starting from span{x*, ...} the MRE solve needs only the df cleanup
     assert int(jnp.max(mi)) <= int(jnp.max(bi)), (
         np.asarray(mi), np.asarray(bi))
+
+
+def test_df_cg_fallback_on_device(rng):
+    """The double-float CG fallback kernel (pallas_df.solve_df_cg_fused,
+    engaged by solve_refined_fused's df_fallback cond) lifts the RU
+    solver's f32 conditioning envelope on the real chip: at a mass 1e-2
+    from a dense-eig singular point of chain 0's configuration
+    (kappa ~ 2e5) the plain RU solve stagnates with converged=False, the
+    fallback converges and its solution certifies the 1e-10 true-residual
+    contract against the independent numpy f64 oracle. Chain 1 stays
+    well-conditioned, covering the per-lane masking (converged lanes must
+    pass through the fallback kernel untouched)."""
+    from schwingermodel_tpu.ops import pallas_traj as pt
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _thetas(rng, C)
+    th_h = np.asarray(theta, np.float64)
+
+    # host-side: find a real eigenvalue crossing of chain 0's Wilson
+    # operator (D = (m0+2) - H/2 is singular when m0+2 meets a real
+    # eigenvalue of H/2, i.e. dirac_ref at m0 = -2 gives -H/2)
+    U0 = _np_links(th_h[0], Nt)
+    dim = 2 * Nx * Nt
+    cols = np.empty((dim, dim), np.complex128)
+    basis = np.eye(dim, dtype=np.complex128)
+    for j in range(dim):
+        cols[:, j] = dirac_ref(
+            U0, basis[:, j].reshape(2, Nx, Nt), -2.0).reshape(-1)
+    lam = np.linalg.eigvals(cols)
+    real = np.sort(lam[np.abs(lam.imag) < 1e-9].real)
+    m0s = -2.0 - real
+    sel = m0s[(m0s > -1.0) & (m0s < 0.5)]
+    assert len(sel) > 0
+    m0 = float(sel[0]) + 1e-2
+
+    v = _spinor(rng, (C, 2, Nx, Nth))
+    model = SchwingerModel(
+        lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32"),
+        hmc=HMCParams(beta=2.0, m0=m0, even_odd=True,
+                      cg=CGParams(tol=1e-10, max_iter=4000, refine=True,
+                                  refine_impl="dfloat")))
+
+    @jax.jit
+    def go(th, vv):
+        phi = jax.vmap(lambda t, w: model.eo_ops(t).dhat(w))(th, vv)
+        E, O = pt.pack_chains(model.geom, th)
+        phi_p = pt.pack_even(phi)
+        plain = pdf.solve_refined_fused(
+            E, O, phi_p, phi_p, m0=m0, tol=1e-10, tau=1e-5,
+            max_iter=4000, max_outer=8, Nth=Nth, df_fallback=False)
+        fb = pdf.solve_refined_fused(
+            E, O, phi_p, phi_p, m0=m0, tol=1e-10, tau=1e-5,
+            max_iter=4000, max_outer=8, Nth=Nth, df_fallback=True)
+        return (phi, plain.converged,
+                pt.unpack_even(fb.x_hi, C), pt.unpack_even(fb.x_lo, C),
+                fb.converged, plain.iters, fb.iters)
+
+    phi, conv0, x_hi, x_lo, conv1, it0, it1 = go(theta, v)
+    assert not bool(np.asarray(conv0)[0])       # ill chain stagnates
+    assert bool(jnp.all(conv1)), np.asarray(conv1)
+    x128 = to_host_c(x_hi) + to_host_c(x_lo)
+    phi_h = to_host_c(phi)
+    for c in range(C):
+        U = _np_links(th_h[c], Nt)
+        r = _np_eo_normal(U, x128[c], m0) - phi_h[c]
+        rel = np.linalg.norm(r.ravel()) / np.linalg.norm(phi_h[c].ravel())
+        assert rel < 1e-10, (c, rel)
