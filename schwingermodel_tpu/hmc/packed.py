@@ -51,7 +51,6 @@ def packed_supported(model: SchwingerModel) -> bool:
         model.hmc.even_odd
         and not model.geom.is_sharded
         and not model.hmc.quenched
-        and not model.hasenbusch_active   # two-pf split: sampler path
         and model.lattice.rdtype == jnp.float32
         and model.hmc.integrator in ("leapfrog", "omelyan")
     )
@@ -115,6 +114,8 @@ def trajectory_packed_given_noise(
     interpret = jax.default_backend() != "tpu"
     dt = model.hmc.step_size if dt is None else dt
     forecast = model.hmc.cg_forecast
+    hb = model.hasenbusch_active
+    m1 = m0 + float(model.hmc.hasenbusch_dm or 0.0)
 
     # the shipped 1e-10 contract: f32 inner solves + double-float true
     # residuals in the fused df kernel, Hamiltonian terms accumulated in df
@@ -122,25 +123,6 @@ def trajectory_packed_given_noise(
     refined = bool(model.hmc.cg.refine)
     inner_tol = float(model.hmc.cg.inner_tol)
     max_outer = int(model.hmc.cg.max_outer)
-
-    chi_p = pt.pack_even(chi)
-    phi_p = pt.dhat_packed(th.E, th.O, chi_p, m0, Nth)   # Phi = Dhat chi
-
-    # --- old Hamiltonian (sampler: exact S_f_old = |chi|^2) ---
-    if refined:
-        from schwingermodel_tpu.ops import pallas_df as pdf
-        from schwingermodel_tpu.solvers.dfloat import df_add
-
-        kin_df = pdf.kinetic_packed_df(piE, piO, C)
-        sg_df = pdf.gauge_action_packed_df(th.E, th.O, beta, C, Nth)
-        sf_df = pdf.norm2_packed_df(chi_p, C)
-        H_old_df = df_add(df_add(kin_df, sg_df), sf_df)
-    else:
-        kin_old = pt.kinetic_packed(piE, piO, C)
-        sg_old = pt.gauge_action_packed(th.E, th.O, beta, C, Nth)
-        sf_old = jnp.sum(
-            jnp.real(chi) ** 2 + jnp.imag(chi) ** 2, axis=(1, 2, 3))
-        H_old = kin_old + sg_old + sf_old
 
     ftol = float(model.hmc.cg.resolved_force_tol())
 
@@ -150,7 +132,7 @@ def trajectory_packed_given_noise(
     # TPU-only, matching where the packed path actually runs)
     df_fb = bool(model.hmc.cg.fallback) and not interpret
 
-    def solve_refined(thE, thO, b_p, hist_p, tol_, certify=True):
+    def solve_refined(thE, thO, b_p, hist_p, tol_, certify=True, mass=m0):
         from schwingermodel_tpu.ops import pallas_df as pdf
 
         # reliable-update mixed-precision CG: ONE kernel, one continuous
@@ -160,9 +142,55 @@ def trajectory_packed_given_noise(
         # Force solves pass tol_ = cg.resolved_force_tol() (config.py);
         # the Metropolis action solves pass the full cg.tol contract.
         return pdf.solve_refined_fused(
-            thE, thO, b_p, hist_p, m0=m0, tol=tol_, tau=inner_tol,
+            thE, thO, b_p, hist_p, m0=mass, tol=tol_, tau=inner_tol,
             max_iter=max_iter, max_outer=max_outer, Nth=Nth,
             certify=certify, df_fallback=df_fb, interpret=interpret)
+
+    iters_hb = jnp.zeros((C,), jnp.int32)
+    conv_hb = jnp.ones((C,), bool)
+    if hb:
+        # Hasenbusch heat bath (models.pseudofermion_fields, packed):
+        #   phi1 = Dhat1 chi1 ;  phi2 = Dhat1^{-1} Dhat0 chi2
+        # (one well-conditioned heavy solve at the full cg.tol contract,
+        # so S1_old + S2_old = |chi1|^2 + |chi2|^2 holds exactly)
+        chi1_p = pt.pack_even(chi[:, 0])
+        chi2_p = pt.pack_even(chi[:, 1])
+        phi_p = pt.dhat_packed(th.E, th.O, chi1_p, m1, Nth)    # phi1
+        b_hb = pt.dhat_packed(th.E, th.O, chi2_p, m0, Nth)     # Dhat0 chi2
+        if refined:
+            sol_hb = solve_refined(th.E, th.O, b_hb, b_hb, tol, mass=m1)
+        else:
+            sol_hb = pt.solve_fused(
+                th.E, th.O, b_hb, b_hb, m0=m1, tol=tol,
+                max_iter=max_iter, Nth=Nth, interpret=interpret)
+        iters_hb = sol_hb.iters
+        conv_hb = sol_hb.converged
+        phi2_p = pt.dhat_dag_packed(th.E, th.O, sol_hb.x, m1, Nth)
+    else:
+        chi_p = pt.pack_even(chi)
+        phi_p = pt.dhat_packed(th.E, th.O, chi_p, m0, Nth)   # Phi = Dhat chi
+        phi2_p = None
+
+    # --- old Hamiltonian (sampler: exact S_f_old = |chi|^2) ---
+    if refined:
+        from schwingermodel_tpu.ops import pallas_df as pdf
+        from schwingermodel_tpu.solvers.dfloat import df_add
+
+        kin_df = pdf.kinetic_packed_df(piE, piO, C)
+        sg_df = pdf.gauge_action_packed_df(th.E, th.O, beta, C, Nth)
+        if hb:
+            sf_df = df_add(pdf.norm2_packed_df(chi1_p, C),
+                           pdf.norm2_packed_df(chi2_p, C))
+        else:
+            sf_df = pdf.norm2_packed_df(chi_p, C)
+        H_old_df = df_add(df_add(kin_df, sg_df), sf_df)
+    else:
+        kin_old = pt.kinetic_packed(piE, piO, C)
+        sg_old = pt.gauge_action_packed(th.E, th.O, beta, C, Nth)
+        sf_old = jnp.sum(
+            jnp.real(chi) ** 2 + jnp.imag(chi) ** 2,
+            axis=tuple(range(1, chi.ndim)))
+        H_old = kin_old + sg_old + sf_old
 
     # --- forecast state fc ---
     # Chronological forecasting (Brower et al., chronological inversion).
@@ -174,9 +202,16 @@ def trajectory_packed_given_noise(
     # Exactness is unaffected (x0 only seeds CG; the <exp(-dH)>=1 gates
     # cover forecasting bias).
     K_MRE = int(model.hmc.mre_history)
-    use_mre = refined and forecast and K_MRE >= 2
+    use_mre = refined and forecast and K_MRE >= 2 and not hb
     leap = model.hmc.integrator == "leapfrog"
-    if refined:
+    if hb:
+        # two forecast histories: the heavy system (rhs phi1) and the
+        # light/ratio system (rhs Dhat1 phi2, which equals Dhat0 chi2 =
+        # b_hb at the initial theta by the heat-bath construction)
+        k0 = 2 if forecast else 1
+        fc0 = (jnp.concatenate([phi_p[None]] * k0, axis=0),
+               jnp.concatenate([b_hb[None]] * k0, axis=0))
+    elif refined:
         fc0 = jnp.concatenate(
             [phi_p[None]] * (K_MRE if use_mre else 2 if forecast else 1),
             axis=0)
@@ -186,7 +221,53 @@ def trajectory_packed_given_noise(
     def fc_push(fc, psi):
         return jnp.concatenate([psi[None], fc[:-1]], axis=0)
 
+    def _x0_of(fc1):
+        if not forecast:
+            return None
+        return (2.0 * fc1[0] - fc1[1]) if leap else fc1[0]
+
+    def force_hb(thE, thO, fc, iters, conv):
+        """Hasenbusch MD force: heavy solve (mass m1) + fermion force, then
+        the light/ratio solve (mass m0, rhs Dhat1 phi2) + the fused ratio
+        force (+ staples) -- models._force_hasenbusch on packed kernels."""
+        fc1, fc2 = fc
+        x01 = _x0_of(fc1) if forecast else phi_p
+        b2f = pt.dhat_packed(thE, thO, phi2_p, m1, Nth)
+        x02 = _x0_of(fc2) if forecast else b2f
+        if refined:
+            sol1 = solve_refined(thE, thO, phi_p, x01[None], ftol,
+                                 certify=False, mass=m1)
+            res1 = pt.force_step_fused(
+                thE, thO, phi_p, sol1.x, m0=m1, beta=beta, tol=tol,
+                max_iter=max_iter, Nth=Nth, with_solve=False,
+                with_gauge=False, interpret=interpret)
+            psi1 = sol1.x
+            sol2 = solve_refined(thE, thO, b2f, x02[None], ftol,
+                                 certify=False)
+            it = iters + sol1.iters + sol2.iters
+            cv = jnp.logical_and(conv, jnp.logical_and(
+                sol1.converged, sol2.converged))
+        else:
+            res1 = pt.force_step_fused(
+                thE, thO, phi_p, x01, m0=m1, beta=beta, tol=tol,
+                max_iter=max_iter, Nth=Nth, with_gauge=False,
+                interpret=interpret)
+            psi1 = res1.psi
+            sol2 = pt.solve_fused(
+                thE, thO, b2f, x02, m0=m0, tol=tol, max_iter=max_iter,
+                Nth=Nth, interpret=interpret)
+            it = iters + res1.iters + sol2.iters
+            cv = jnp.logical_and(conv, jnp.logical_and(
+                res1.converged, sol2.converged))
+        FE2, FO2 = pt.ratio_force_fused(
+            thE, thO, sol2.x, phi2_p, m0=m0, m1=m1, beta=beta, Nth=Nth,
+            interpret=interpret)
+        fc = (fc_push(fc1, psi1), fc_push(fc2, sol2.x)) if forecast else fc
+        return res1.FE + FE2, res1.FO + FO2, fc, it, cv
+
     def force(thE, thO, fc, iters, conv):
+        if hb:
+            return force_hb(thE, thO, fc, iters, conv)
         if refined:
             if use_mre:
                 hist = fc
@@ -216,8 +297,8 @@ def trajectory_packed_given_noise(
         return (res.FE, res.FO, fc_push(fc, res.psi), iters + res.iters,
                 jnp.logical_and(conv, res.converged))
 
-    iters0 = jnp.zeros((C,), jnp.int32)
-    conv0 = jnp.ones((C,), bool)
+    iters0 = iters_hb                  # the Hasenbusch heat-bath solve
+    conv0 = conv_hb
 
     # --- MD evolution (hmc/integrators.py structure, packed axpys) ---
     thE, thO, piE_n, piO_n = th.E, th.O, piE, piO
@@ -227,7 +308,11 @@ def trajectory_packed_given_noise(
         thO = thO + (0.5 * dt) * piO_n
         FE, FO, fc, iters, conv = force(thE, thO, fc0, iters0, conv0)
         if not use_mre and forecast:
-            fc = fc.at[1].set(fc[0])      # no history yet: x0 = psi_1
+            # no history yet: x0 = psi_1
+            if hb:
+                fc = (fc[0].at[1].set(fc[0][0]), fc[1].at[1].set(fc[1][0]))
+            else:
+                fc = fc.at[1].set(fc[0])
 
         def body(carry, _):
             thE, thO, piE, piO, FE, FO, fc, iters, conv = carry
@@ -249,7 +334,13 @@ def trajectory_packed_given_noise(
         thE = thE + (0.5 * dt) * piE_n
         thO = thO + (0.5 * dt) * piO_n
         # action solve sits half a step beyond the last force solve
-        psi_fc = (1.5 * fc[0] - 0.5 * fc[1]) if forecast else phi_p
+        if hb:
+            psi_fc = (
+                ((1.5 * fc[0][0] - 0.5 * fc[0][1]),
+                 (1.5 * fc[1][0] - 0.5 * fc[1][1])) if forecast
+                else (phi_p, None))
+        else:
+            psi_fc = (1.5 * fc[0] - 0.5 * fc[1]) if forecast else phi_p
     else:  # omelyan 2MN (integrators.omelyan structure)
         from schwingermodel_tpu.hmc.integrators import LAMBDA_2MN as lam
 
@@ -282,10 +373,55 @@ def trajectory_packed_given_noise(
             carry, _ = lax.scan(body, carry, None, length=n - 1)
         thE, thO, piE_n, piO_n, FE, FO, fc, iters, conv = half_step(
             *carry, False)
-        psi_fc = fc[0] if forecast else phi_p
+        if hb:
+            psi_fc = ((fc[0][0], fc[1][0]) if forecast else (phi_p, None))
+        else:
+            psi_fc = fc[0] if forecast else phi_p
 
     # --- new Hamiltonian ---
-    if refined:
+    if hb:
+        # S_f(new) = phi1^+(A1)^{-1}phi1 + b2^+(A0)^{-1}b2, b2 = Dhat1 phi2
+        # (models.fermion_action Hasenbusch branch, packed kernels)
+        psi_fc1, psi_fc2 = psi_fc
+        b2n = pt.dhat_packed(thE, thO, phi2_p, m1, Nth)
+        if psi_fc2 is None:
+            psi_fc2 = b2n
+        if refined:
+            from schwingermodel_tpu.ops import pallas_df as pdf
+            from schwingermodel_tpu.solvers.dfloat import df_add, df_sub
+
+            sol1 = solve_refined(thE, thO, phi_p, psi_fc1[None], tol,
+                                 mass=m1)
+            sol2 = solve_refined(thE, thO, b2n, psi_fc2[None], tol)
+            iters = iters + sol1.iters + sol2.iters
+            conv = jnp.logical_and(conv, jnp.logical_and(
+                sol1.converged, sol2.converged))
+            sf_new_df = df_add(
+                pdf.dot_re_packed_df(phi_p, sol1.x_hi, sol1.x_lo, C),
+                pdf.dot_re_packed_df(b2n, sol2.x_hi, sol2.x_lo, C))
+            H_new_df = df_add(
+                df_add(pdf.kinetic_packed_df(piE_n, piO_n, C),
+                       pdf.gauge_action_packed_df(thE, thO, beta, C, Nth)),
+                sf_new_df)
+            dH_df = df_sub(H_new_df, H_old_df)
+            dH = dH_df[0] + dH_df[1]
+        else:
+            sol1 = pt.solve_fused(
+                thE, thO, phi_p, psi_fc1, m0=m1, tol=tol,
+                max_iter=max_iter, Nth=Nth, interpret=interpret)
+            sol2 = pt.solve_fused(
+                thE, thO, b2n, psi_fc2, m0=m0, tol=tol,
+                max_iter=max_iter, Nth=Nth, interpret=interpret)
+            iters = iters + sol1.iters + sol2.iters
+            conv = jnp.logical_and(conv, jnp.logical_and(
+                sol1.converged, sol2.converged))
+            sf_new = (pt.dot_re_packed(phi_p, sol1.x, C)
+                      + pt.dot_re_packed(b2n, sol2.x, C))
+            H_new = (pt.kinetic_packed(piE_n, piO_n, C)
+                     + pt.gauge_action_packed(thE, thO, beta, C, Nth)
+                     + sf_new)
+            dH = H_new - H_old
+    elif refined:
         from schwingermodel_tpu.ops import pallas_df as pdf
         from schwingermodel_tpu.solvers.dfloat import df_add, df_sub
 

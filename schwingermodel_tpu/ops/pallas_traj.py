@@ -340,7 +340,7 @@ def _force_step_kernel(the_ref, tho_ref, phi_ref, x0_ref,
                        fe_ref, fo_ref, psi_ref, iters_ref, rho_ref,
                        bnorm_ref,
                        *, m: float, beta: float, tol: float, max_iter: int,
-                       Nth: int, with_solve: bool):
+                       Nth: int, with_solve: bool, with_gauge: bool = True):
     """One fused MD force step: links + [CG solve] + chi' + fermion force +
     staple force. with_solve=False turns the CG off (psi comes in via
     x0_ref -- the refined path solves outside and only needs the forces)."""
@@ -377,8 +377,14 @@ def _force_step_kernel(the_ref, tho_ref, phi_ref, x0_ref,
     chi_p = dhat_dag(psi)
     (ffe, ffo) = fermion_force_planes(
         ue, uo, psi, chi_p, mask_e, mask_o, tsh, c)
-    (gfe, gfo) = gauge_force_planes(
-        ue, uo, mask_e, mask_o, tsh, jnp.float32(beta))
+    if with_gauge:
+        (gfe, gfo) = gauge_force_planes(
+            ue, uo, mask_e, mask_o, tsh, jnp.float32(beta))
+    else:
+        # Hasenbusch heavy term: the staple force rides the ratio-force
+        # kernel instead
+        z = jnp.zeros_like(ffe[0])
+        (gfe, gfo) = (z, z), (z, z)
 
     fe_ref[0] = ffe[0] + gfe[0]
     fe_ref[1] = ffe[1] + gfe[1]
@@ -401,10 +407,11 @@ class ForceStepResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("m0", "beta", "tol", "max_iter", "Nth", "with_solve",
-                     "interpret"))
+                     "with_gauge", "interpret"))
 def force_step_fused(thE: jax.Array, thO: jax.Array, phi_p: jax.Array,
                      x0_p: jax.Array, *, m0: float, beta: float, tol: float,
                      max_iter: int, Nth: int, with_solve: bool = True,
+                     with_gauge: bool = True,
                      interpret: bool = False) -> ForceStepResult:
     """One MD force evaluation on lane-packed planes as ONE TPU program.
 
@@ -421,7 +428,8 @@ def force_step_fused(thE: jax.Array, thO: jax.Array, phi_p: jax.Array,
 
     kernel = functools.partial(
         _force_step_kernel, m=m, beta=float(beta), tol=float(tol),
-        max_iter=int(max_iter), Nth=Nth, with_solve=with_solve)
+        max_iter=int(max_iter), Nth=Nth, with_solve=with_solve,
+        with_gauge=with_gauge)
 
     out_shape = (
         jax.ShapeDtypeStruct((2, Nx, N), jnp.float32),      # FE
@@ -450,6 +458,73 @@ def force_step_fused(thE: jax.Array, thO: jax.Array, phi_p: jax.Array,
         conv = jnp.ones_like(conv, bool)
     return ForceStepResult(FE=FE, FO=FO, psi=psi, iters=iters_c,
                            converged=conv)
+
+
+# ---------- Hasenbusch ratio-force kernel ----------
+
+def _ratio_force_kernel(the_ref, tho_ref, psi_ref, phi2_ref,
+                        fe_ref, fo_ref,
+                        *, m0: float, m1: float, beta: float, Nth: int):
+    """Force of the Hasenbusch RATIO term + the staple force, fused.
+
+    For S2 = (Dhat1 phi2)^+ (Dhat0 Dhat0^+)^{-1} (Dhat1 phi2) at fixed
+    psi = (Dhat0 Dhat0^+)^{-1} Dhat1 phi2 (solved outside) and
+    chi' = Dhat0^+ psi (computed here),
+        F2 = grad[2Re<psi, Dhat0 chi'> - 2Re<psi, Dhat1 phi2>]
+           = ff(psi, chi'; c0) - ff(psi, phi2; c1)
+    by linearity of the force bilinear in its Schur prefactor c_m =
+    1/(4(m+2)) (ops.eo.eo_ratio_force, packed-plane form). The staple
+    force is added here (the heavy term's kernel runs with_gauge=False)."""
+    Nx, N = the_ref.shape[-2:]
+    mask_e, mask_o = parity_masks(Nx)
+    tsh = lane_tshifts(N, Nth)
+    c0 = jnp.float32(1.0 / (4.0 * (float(m0) + 2.0)))
+    c1 = jnp.float32(1.0 / (4.0 * (float(m1) + 2.0)))
+    mf0 = jnp.float32(float(m0) + 2.0)
+
+    ue, uo = links_from_theta_planes(
+        the_ref[0], the_ref[1], tho_ref[0], tho_ref[1], Nth)
+    psi = _read_spinor(psi_ref)
+    phi2 = _read_spinor(phi2_ref)
+
+    w = _hop_dag(uo, ue, psi, mask_o, tsh)
+    chi_p = _spinor_axpbv(mf0, psi, -c0, _hop_dag(ue, uo, w, mask_e, tsh))
+
+    (f0e, f0o) = fermion_force_planes(
+        ue, uo, psi, chi_p, mask_e, mask_o, tsh, c0)
+    (f1e, f1o) = fermion_force_planes(
+        ue, uo, psi, phi2, mask_e, mask_o, tsh, c1)
+    (gfe, gfo) = gauge_force_planes(
+        ue, uo, mask_e, mask_o, tsh, jnp.float32(beta))
+
+    fe_ref[0] = f0e[0] - f1e[0] + gfe[0]
+    fe_ref[1] = f0e[1] - f1e[1] + gfe[1]
+    fo_ref[0] = f0o[0] - f1o[0] + gfo[0]
+    fo_ref[1] = f0o[1] - f1o[1] + gfo[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m0", "m1", "beta", "Nth", "interpret"))
+def ratio_force_fused(thE: jax.Array, thO: jax.Array, psi_p: jax.Array,
+                      phi2_p: jax.Array, *, m0: float, m1: float,
+                      beta: float, Nth: int, interpret: bool = False):
+    """(FE, FO) [2, Nx, N]: Hasenbusch ratio-term force + staple force as
+    one TPU program (see _ratio_force_kernel)."""
+    _, Nx, N = thE.shape
+    kernel = functools.partial(
+        _ratio_force_kernel, m0=float(m0), m1=float(m1), beta=float(beta),
+        Nth=Nth)
+    out_shape = (
+        jax.ShapeDtypeStruct((2, Nx, N), jnp.float32),
+        jax.ShapeDtypeStruct((2, Nx, N), jnp.float32),
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, in_specs=[vspec] * 4,
+        out_specs=(vspec, vspec), interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+    )(thE, thO, psi_p, phi2_p)
 
 
 # ---------- solve-only kernel (action solves, refined inner solves) ----------
@@ -617,6 +692,22 @@ def dhat_packed(thE: jax.Array, thO: jax.Array, v_p: jax.Array, m0,
     v = ((v_p[0, 0], v_p[0, 1]), (v_p[1, 0], v_p[1, 1]))
     w = _hop(uo, ue, v, mask_o, tsh)
     r = _spinor_axpbv(m, v, -c, _hop(ue, uo, w, mask_e, tsh))
+    return jnp.stack([jnp.stack(r[0]), jnp.stack(r[1])])
+
+
+def dhat_dag_packed(thE: jax.Array, thO: jax.Array, v_p: jax.Array, m0,
+                    Nth: int) -> jax.Array:
+    """Dhat^+ v on packed planes (XLA level; the Hasenbusch heat bath's
+    phi2 = Dhat1^+ y assembly, once per trajectory)."""
+    Nx, N = thE.shape[-2:]
+    mask_e, mask_o = parity_masks(Nx)
+    tsh = lane_tshifts(N, Nth)
+    ue, uo = links_from_theta(thE, thO, Nth)
+    m = jnp.float32(float(m0) + 2.0)
+    c = jnp.float32(1.0 / (4.0 * (float(m0) + 2.0)))
+    v = ((v_p[0, 0], v_p[0, 1]), (v_p[1, 0], v_p[1, 1]))
+    w = _hop_dag(uo, ue, v, mask_o, tsh)
+    r = _spinor_axpbv(m, v, -c, _hop_dag(ue, uo, w, mask_e, tsh))
     return jnp.stack([jnp.stack(r[0]), jnp.stack(r[1])])
 
 

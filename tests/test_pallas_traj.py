@@ -23,12 +23,13 @@ from schwingermodel_tpu.utils import prng
 
 
 def _model32(Nx=8, Nt=8, m0=0.1, beta=2.0, integrator="leapfrog",
-             md_steps=6):
+             md_steps=6, hasenbusch_dm=None):
     return SchwingerModel(
         lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32"),
         hmc=HMCParams(beta=beta, m0=m0, even_odd=True, md_steps=md_steps,
                       trajectory_length=0.6, integrator=integrator,
                       packed=True,      # force the path off-TPU (interpret)
+                      hasenbusch_dm=hasenbusch_dm,
                       cg=CGParams(tol=1e-6, max_iter=2000)),
     )
 
@@ -210,6 +211,78 @@ def _model32_refined(Nx=8, Nt=8, m0=0.1, beta=2.0):
                       cg=CGParams(tol=1e-10, max_iter=2000, refine=True,
                                   refine_impl="x64")),
     )
+
+
+def test_ratio_force_fused_matches_model(rng):
+    """The Hasenbusch MD force on packed kernels (heavy force_step at m1
+    with_gauge=False + ratio_force_fused) == models._force_hasenbusch
+    (autodiff bilinears + XLA staples), same pre-solved fields."""
+    dm = 0.4
+    model = _model32(m0=-0.19, hasenbusch_dm=dm)
+    m0f, m1f = -0.19, -0.19 + dm
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _rand_theta(rng, C, Nx, Nt)
+    chi = jnp.asarray(rng.standard_normal((C, 2, 2, Nx, Nth))
+                      + 1j * rng.standard_normal((C, 2, 2, Nx, Nth)),
+                      jnp.complex64)
+
+    def heat_bath(t, c):
+        return model.pseudofermion_fields(t, c, SolveStats.zero())[0]
+
+    phi1, phi2 = jax.vmap(heat_bath)(theta, chi)
+
+    def ref_force(t, p1, p2):
+        F, _, psis = model.force(t, (p1, p2), SolveStats.zero())
+        return F, psis
+
+    F_ref, (psi1_ref, psi2_ref) = jax.vmap(ref_force)(theta, phi1, phi2)
+
+    E, O = pt.pack_chains(model.geom, theta)
+    phi1_p = pt.pack_even(phi1)
+    phi2_p = pt.pack_even(phi2)
+    res1 = pt.force_step_fused(E, O, phi1_p, phi1_p, m0=m1f, beta=2.0,
+                               tol=1e-6, max_iter=2000, Nth=Nth,
+                               with_gauge=False, interpret=True)
+    b2 = pt.dhat_packed(E, O, phi2_p, m1f, Nth)
+    sol2 = pt.solve_fused(E, O, b2, b2, m0=m0f, tol=1e-6, max_iter=2000,
+                          Nth=Nth, interpret=True)
+    FE2, FO2 = pt.ratio_force_fused(E, O, sol2.x, phi2_p, m0=m0f, m1=m1f,
+                                    beta=2.0, Nth=Nth, interpret=True)
+    assert bool(jnp.all(res1.converged)) and bool(jnp.all(sol2.converged))
+    F_got = pt.unpack_chains(model.geom, res1.FE + FE2, res1.FO + FO2, C)
+    scale = np.abs(np.asarray(F_ref)).max()
+    np.testing.assert_allclose(np.asarray(F_got), np.asarray(F_ref),
+                               rtol=0, atol=5e-5 * max(scale, 1.0))
+
+
+@pytest.mark.parametrize("integrator", ["leapfrog", "omelyan"])
+def test_packed_hasenbusch_trajectory_matches_standard(rng, integrator):
+    """Same noise in -> same dH/accept as the vmapped Hasenbusch sampler
+    (the packed two-pseudofermion fast path, loose contract)."""
+    model = _model32(m0=-0.19, hasenbusch_dm=0.4, integrator=integrator,
+                     md_steps=4)
+    C, Nx, Nt = 2, 8, 8
+    theta = _rand_theta(rng, C, Nx, Nt)
+    keys = jax.vmap(lambda i: prng.trajectory_key(prng.root_key(7), i))(
+        jnp.arange(C))
+    pi, chi, r = jax.vmap(
+        lambda k: draw_noise(model, (2, Nx, Nt), k))(keys)
+
+    th_ref, st_ref = jax.vmap(
+        lambda t, p, c, u: trajectory_given_noise(model, t, p, c, u))(
+        theta, pi, chi, r)
+
+    th0 = hp.pack_theta(model, theta)
+    piE, piO = pt.pack_chains(model.geom, pi)
+    th1, st = hp.trajectory_packed_given_noise(model, th0, piE, piO, chi, r)
+
+    assert bool(jnp.all(st.cg_converged))
+    np.testing.assert_allclose(np.asarray(st.delta_H),
+                               np.asarray(st_ref.delta_H), rtol=0, atol=5e-3)
+    assert np.array_equal(np.asarray(st.accepted), np.asarray(st_ref.accepted))
+    th1_full = hp.unpack_theta(model, th1, C)
+    np.testing.assert_allclose(np.asarray(th1_full), np.asarray(th_ref),
+                               rtol=0, atol=2e-4)
 
 
 def test_df_lanes_normal_matches_c128(rng):
