@@ -15,8 +15,10 @@ noise fields into both and compare dH directly (tests/test_pallas_traj.py).
 
 Scope (asserted in packed_supported): even-odd mode, unsharded, f32,
 leapfrog/omelyan, static beta, BOTH solver contracts (the refined 1e-10
-contract rides the reliable-update kernel, ops/pallas_df.py). Sharded
-lattices keep hmc/sampler.py (with the fused sharded CG of
+contract rides the reliable-update kernel, ops/pallas_df.py), with or
+without the Hasenbusch two-pseudofermion split (heavy + ratio solves and
+the fused ratio-force kernel, ops/pallas_traj.ratio_force_fused). Sharded
+lattices keep hmc/sampler.py (with the fused sharded CG and force of
 ops/pallas_halo.py underneath).
 """
 

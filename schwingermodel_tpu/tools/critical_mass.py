@@ -241,6 +241,12 @@ def main(argv=None) -> int:
     m_crit, m_err, slope = fit_zero_crossing(
         [r["m0"] for r in fit_rows], [r["m_pcac"] for r in fit_rows],
         [r["err"] for r in fit_rows])
+    # the reference's critical-mass table (README.md:100-111, from
+    # Christian/Jansen/Nagai/Pollakowski, Nucl. Phys. B 739 (2006))
+    LITERATURE = {1.0: (-0.3204, 0.0007), 2.0: (-0.1968, 0.0009),
+                  3.0: (-0.1351, 0.0002), 4.0: (-0.1033, 0.0001),
+                  5.0: (-0.0840, 0.0001), 6.0: (-0.0719, 0.0001)}
+    lit = LITERATURE.get(float(args.beta))
     summary = {
         "metric": "critical_mass",
         "beta": args.beta, "lattice": f"{Nx}x{Nt}",
@@ -248,8 +254,9 @@ def main(argv=None) -> int:
         "slope": round(slope, 4),
         "fit_points": len(fit_rows),
         "dropped_low_acceptance": dropped,
-        "literature": {"beta2": -0.1968, "err": 0.0009,
-                       "source": "reference README.md:105 "
+        "literature": {"m_crit": lit[0] if lit else None,
+                       "err": lit[1] if lit else None,
+                       "source": "reference README.md:100-111 "
                                  "(Nucl. Phys. B 739 (2006))"},
         "rows": rows,
     }
@@ -268,10 +275,12 @@ def main(argv=None) -> int:
             for r in rows:
                 f.write(f"| {r['m0']:g} | {r['m_pcac']:.5f} | "
                         f"{r['err']:.5f} | {r['acceptance']:.3f} |\n")
+            lit_s = (f"{lit[0]:g}({round(lit[1] * 1e4):g}e-4)" if lit
+                     else "n/a")
             f.write(
                 f"\nLinear zero crossing: **m_crit = {m_crit:.4f} +- "
                 f"{m_err:.4f}** (literature, infinite-volume: "
-                f"-0.1968(9), reference README.md:105; finite-{Nx}^2 "
+                f"{lit_s}, reference README.md:100-111; finite-{Nx}^2 "
                 f"lattice artifacts shift the crossing at O(a, 1/L)).\n")
     return 0
 

@@ -102,6 +102,10 @@ def compare_point(ref: dict, args) -> dict:
         "seconds": res.elapsed_seconds,
         "nmeas": nmeas, "chains": args.chains, "dtype": dtype,
         "refine": args.refine, "even_odd": args.even_odd,
+        "md_steps": args.md_steps or ref["md_steps"],
+        "hasenbusch_dm": args.hasenbusch_dm,
+        "n_ill": res.n_ill,
+        "backend": jax.default_backend(),
     }
 
 
@@ -144,6 +148,13 @@ def main(argv=None) -> int:
                         "with --hasenbusch-dm: the split needs fewer)")
     p.add_argument("--integrator", choices=["leapfrog", "omelyan"],
                    default="leapfrog")
+    p.add_argument("--skip", default=None,
+                   help="comma list of points to skip, each 'Nx:beta:m0' "
+                        "or 'Nx:beta:m0:md_steps'")
+    p.add_argument("--from-json", nargs="+", default=None, metavar="J",
+                   help="merge previously produced row json files and "
+                        "write --markdown/--json WITHOUT running anything "
+                        "(assembling tables from per-algorithm runs)")
     p.add_argument("--n-sigma", type=float, default=2.0)
     p.add_argument("--n-sigma-acc", type=float, default=3.0,
                    help="acceptance gate (binomial, autocorrelation slack)")
@@ -175,6 +186,16 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
+    if args.from_json:
+        rows = []
+        for path in args.from_json:
+            rows.extend(json.load(open(path)))
+        ok = all(r["pass_Ep"] and (r["pass_acc"] if r["acc_gated"] else True)
+                 for r in rows)
+        _write_outputs(args, rows, ok)
+        print("ALL PASS" if ok else "FAILURES PRESENT")
+        return 0 if ok else 1
+
     points = json.load(open(args.golden))
     if args.lattice:
         points = [r for r in points if r["Nx"] == args.lattice]
@@ -182,6 +203,20 @@ def main(argv=None) -> int:
         points = [r for r in points if r["beta"] == args.beta]
     if args.m0 is not None:
         points = [r for r in points if r["m0"] == args.m0]
+    if args.skip:
+        skips = set()
+        for spec in args.skip.split(","):
+            parts = spec.split(":")
+            skips.add((int(parts[0]), float(parts[1]), float(parts[2]),
+                       int(parts[3]) if len(parts) > 3 else None))
+
+        def skipped(r):
+            return any(
+                r["Nx"] == nx and r["beta"] == b and r["m0"] == m
+                and (md is None or r["md_steps"] == md)
+                for (nx, b, m, md) in skips)
+
+        points = [r for r in points if not skipped(r)]
 
     rows = []
     ok = True
@@ -201,37 +236,55 @@ def main(argv=None) -> int:
               f"{r['ref_acceptance']:>8.3f} {r['acceptance']:>8.3f} "
               f"{r['n_sigma_acc']:>5.2f} | {v}", flush=True)
 
+    _write_outputs(args, rows, ok)
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+def _write_outputs(args, rows, ok):
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)
     if args.markdown:
+        backend = rows[0].get("backend", "?") if rows else "?"
+        dtype = rows[0].get("dtype", args.dtype) if rows else args.dtype
+        any_hb = any(r.get("hasenbusch_dm") for r in rows)
         with open(args.markdown, "w") as f:
             f.write("# Cross-validation vs the C++ reference\n\n")
             acc_note = (
                 "; acceptance columns are informational only (ungated: the "
                 "Schur-preconditioned action's acceptance is not comparable "
                 "to the full-D reference)"
-                if getattr(args, "plaquette_only", False) else
+                if getattr(args, "plaquette_only", False) or any_hb else
                 f", |Δacc| ≤ {args.n_sigma_acc:g}σ (binomial)")
-            f.write(f"Framework: dtype={args.dtype}, refine={args.refine}, "
-                    f"even_odd={args.even_odd}, "
-                    f"chains={args.chains}, backend={jax.default_backend()}."
+            f.write(f"Framework: dtype={dtype}, refine={rows[0].get('refine') if rows else args.refine}, "
+                    f"even_odd={rows[0].get('even_odd') if rows else args.even_odd}, "
+                    f"backend={backend}."
                     f" Gate: |ΔEp| ≤ {args.n_sigma:g}σ (combined jackknife)"
                     f"{acc_note}.\n\n")
-            f.write("| lattice | β | m0 | Ep (reference) | Ep (this) | nσ | "
-                    "acc (ref) | acc (this) | nσ | verdict |\n")
+            if any_hb:
+                f.write("`hb` rows run Hasenbusch mass preconditioning "
+                        "(two pseudofermions; --hasenbusch-dm) with their "
+                        "own md_steps -- the near-critical regime where "
+                        "the reference's single-pseudofermion algorithm "
+                        "loses ergodicity (its own 32x32 md=20 golden sits "
+                        "at acceptance 0.002).\n\n")
+            f.write("| lattice | β | m0 | alg | Ep (reference) | Ep (this) "
+                    "| nσ | acc (ref) | acc (this) | verdict |\n")
             f.write("|---|---|---|---|---|---|---|---|---|---|\n")
             for r in rows:
                 acc_ok = r["pass_acc"] if r["acc_gated"] else True
                 v = "PASS" if (r["pass_Ep"] and acc_ok) else "FAIL"
+                alg = (f"hb dm={r['hasenbusch_dm']:g} "
+                       f"md={r.get('md_steps', '?')}"
+                       if r.get("hasenbusch_dm") else "ref")
                 f.write(f"| {r['Nx']}x{r['Nt']} | {r['beta']:g} | {r['m0']:g} "
+                        f"| {alg} "
                         f"| {r['ref_Ep']:.6f} ± {r['ref_dEp']:.6f} "
                         f"| {r['Ep']:.6f} ± {r['dEp']:.6f} "
                         f"| {r['n_sigma_Ep']:.2f} "
                         f"| {r['ref_acceptance']:.3f} | {r['acceptance']:.3f} "
-                        f"| {r['n_sigma_acc']:.2f} | {v} |\n")
-    print("ALL PASS" if ok else "FAILURES PRESENT")
-    return 0 if ok else 1
+                        f"| {v} |\n")
 
 
 if __name__ == "__main__":
