@@ -106,6 +106,23 @@ class CGParams:
     # refinement converges (the fallback loops never execute).
     fallback: bool = True
 
+    # Depth-gated df certification of the MD force solves (packed RU
+    # kernel): the f32 recursive exit is trusted only while the recursion
+    # segment since the last df true-residual replacement is shallow
+    # (< 192 iterations -- drift ~ eps_f32 * accumulated corrections,
+    # provably below resolved_force_tol()); deeper segments replace with
+    # the df TRUE residual and the reliable-update loop chases it below
+    # ftol, exactly like the action solves. Easy solves (the tau=0.1 demo
+    # regime, <200 iters) pay zero extra df applies; deep near-critical
+    # solves become df-accurate (the pure-trusted exit measured 3.9e-7
+    # true residual on a solve whose recursive exit claimed 1e-8 -- 32x32
+    # beta=2 m0=-0.19, round-5 probe). False restores the pure-trusted
+    # exit (flag and force accuracy at the f32 drift floor on deep
+    # solves). The accept/reject absorbs force error either way (dH is
+    # exact), so this affects force accuracy and flag honesty, never the
+    # sampled distribution.
+    certify_forces: bool = True
+
     def resolved_force_tol(self) -> float:
         if self.force_tol is not None:
             return self.force_tol

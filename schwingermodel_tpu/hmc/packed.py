@@ -134,6 +134,17 @@ def trajectory_packed_given_noise(
     # TPU-only, matching where the packed path actually runs)
     df_fb = bool(model.hmc.cg.fallback) and not interpret
 
+    # MD force solves run the depth-gated certification (cg.certify_forces,
+    # default on): the RU kernel trusts the f32 recursive exit only while
+    # the segment since the last df replacement is shallow (< cert_k
+    # iterations -- drift provably below ftol), and replaces + chases the
+    # df TRUE residual on deeper segments. Easy solves pay zero df applies
+    # (measured: the always-certify variant cost 4.9% at the 64x64 demo
+    # point); deep near-critical solves are df-accurate (the pure-trusted
+    # exit measured 3.9e-7 true residual on a claimed-1e-8 solve).
+    # certify_forces=False restores pure trust (cert_k = max_iter).
+    cert_k = 192 if model.hmc.cg.certify_forces else int(max_iter)
+
     def solve_refined(thE, thO, b_p, hist_p, tol_, certify=True, mass=m0):
         from schwingermodel_tpu.ops import pallas_df as pdf
 
@@ -146,7 +157,8 @@ def trajectory_packed_given_noise(
         return pdf.solve_refined_fused(
             thE, thO, b_p, hist_p, m0=mass, tol=tol_, tau=inner_tol,
             max_iter=max_iter, max_outer=max_outer, Nth=Nth,
-            certify=certify, df_fallback=df_fb, interpret=interpret)
+            certify=certify, df_fallback=df_fb, cert_k=cert_k,
+            interpret=interpret)
 
     iters_hb = jnp.zeros((C,), jnp.int32)
     conv_hb = jnp.ones((C,), bool)
@@ -277,10 +289,9 @@ def trajectory_packed_given_noise(
                 hist = ((2.0 * fc[0] - fc[1]) if leap else fc[0])[None]
             else:
                 hist = phi_p[None]
-            # force solves: looser tolerance, recursion-trusted exit
-            # (the df-exact initial residual makes the short recursion
-            # accurate far beyond ftol); the ACTION solve below keeps the
-            # fully df-certified cg.tol contract
+            # force solves: looser tolerance, depth-gated certification
+            # (cert_k above); the ACTION solve below keeps the fully
+            # df-certified cg.tol contract either way
             sol = solve_refined(thE, thO, phi_p, hist, ftol, certify=False)
             res = pt.force_step_fused(
                 thE, thO, phi_p, sol.x, m0=m0, beta=beta, tol=tol,

@@ -402,7 +402,8 @@ def _xdf_axpy(x, alpha, d):
 def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
                      xhi_ref, xlo_ref, iters_ref, rho_ref, bnorm_ref,
                      *, m0: float, tol: float, tau: float, max_iter: int,
-                     max_outer: int, Nth: int, K: int, certify: bool):
+                     max_outer: int, Nth: int, K: int, certify: bool,
+                     cert_k: int = 192):
     from schwingermodel_tpu.ops.pallas_eo import _hop, _hop_dag, _spinor_axpbv, _csel
     from schwingermodel_tpu.solvers.dfloat import unsafe_no_barriers
 
@@ -589,7 +590,7 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
             return x, r, d, rho, iters, k_tot
 
         def cond_outer(carry):
-            _, _, _, _, rho_df, rho_df_prev, iters, k_tot, ko = carry
+            _, _, _, _, rho_df, rho_df_prev, iters, k_tot, _, ko = carry
             active = jnp.logical_and(jnp.any(rho_df >= stop2),
                                      ko < jnp.int32(max_outer))
             progressing = jnp.logical_or(
@@ -598,7 +599,7 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
                 jnp.logical_and(active, progressing), k_tot < max_k)
 
         def body_outer(carry):
-            x, r, d, rho, rho_df, _, iters, k_tot, ko = carry
+            x, r, d, rho, rho_df, _, iters, k_tot, k_rep, ko = carry
             # chase each chain tau^2 below its CERTIFIED residual (or to
             # the final target if that is nearer)
             tgt = jnp.maximum(stop2, tau2 * rho_df)
@@ -611,25 +612,38 @@ def _solve_ru_kernel(the_ref, tho_ref, b_ref, hist_ref,
                 rho_new = dot_pc(r_new, r_new)
             else:
                 # certify=False (force solves): the INITIAL residual was
-                # df-exact and the recursion since then drifts only by
-                # ~eps * ||accumulated corrections|| -- far below the
-                # looser force tolerance after O(10) iterations -- so the
-                # recursive exit is trusted unless a genuine multi-phase
-                # contraction (tgt above stop2) still needs a replacement
+                # df-exact and the f32 recursion drifts from the truth by
+                # ~eps_f32 * ||accumulated corrections|| per iteration --
+                # provably negligible for SHORT recursions, but measured
+                # at 3.9e-7 true residual on a 2.6k-iteration solve whose
+                # recursive exit claimed 1e-8 (round-5 near-critical
+                # probe). So the recursive exit is trusted only while the
+                # segment since the last df replacement is shallow
+                # (< cert_k iterations); deeper segments -- and genuine
+                # multi-phase contractions (tgt above stop2) -- replace
+                # with the df true residual, which the outer loop then
+                # chases below the target like the certified path. Easy
+                # solves (the tau=0.1 demo regime, <200 iters) never pay
+                # a df apply; deep near-critical solves are df-accurate.
                 def rep(_):
                     rn = true_residual(x)
                     return rn, dot_pc(rn, rn)
 
+                do_rep = jnp.logical_or(
+                    jnp.any(tgt > stop2),
+                    k_tot - k_rep >= jnp.int32(cert_k))
                 r_new, rho_new = jax.lax.cond(
-                    jnp.any(tgt > stop2), rep, lambda _: (r, rho),
-                    operand=None)
+                    do_rep, rep, lambda _: (r, rho), operand=None)
+                k_rep = jnp.where(do_rep, k_tot, k_rep)
+            if certify:
+                k_rep = k_tot
             return (x, r_new, d, rho_new, rho_new, rho_df, iters, k_tot,
-                    ko + jnp.int32(1))
+                    k_rep, ko + jnp.int32(1))
 
-        x, r, d, rho, rho_df, _, iters, k_tot, ko = jax.lax.while_loop(
+        x, r, d, rho, rho_df, _, iters, k_tot, _, ko = jax.lax.while_loop(
             cond_outer, body_outer,
             (x, r, r, rho, rho_df, jnp.full_like(rho, jnp.inf), iters0,
-             jnp.int32(0), jnp.int32(0)))
+             jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     ((r0h, r0l), (i0h, i0l)), ((r1h, r1l), (i1h, i1l)) = x
     xhi_ref[0, 0], xhi_ref[0, 1] = r0h, i0h
@@ -861,11 +875,12 @@ def solve_df_cg_fused(thE, thO, b_p, x_hi, x_lo, *, m0: float, tol: float,
 @functools.partial(
     jax.jit,
     static_argnames=("m0", "tol", "tau", "max_iter", "max_outer", "Nth",
-                     "certify", "df_fallback", "interpret"))
+                     "certify", "df_fallback", "cert_k", "interpret"))
 def solve_refined_fused(thE, thO, b_p, hist_p, *, m0: float, tol: float,
                         tau: float = 1e-5, max_iter: int = 10000,
                         max_outer: int = 12, Nth: int = 0,
                         certify: bool = True, df_fallback: bool = False,
+                        cert_k: int = 192,
                         interpret: bool = False) -> RefinedSolveResult:
     """(Dhat Dhat^+)^{-1} b to `tol` at f64 grade: ONE Pallas program
     running reliable-update mixed-precision CG (see block comment above).
@@ -891,7 +906,7 @@ def solve_refined_fused(thE, thO, b_p, hist_p, *, m0: float, tol: float,
     kernel = functools.partial(
         _solve_ru_kernel, m0=float(m0), tol=float(tol), tau=float(tau),
         max_iter=int(max_iter), max_outer=int(max_outer), Nth=Nth, K=K,
-        certify=bool(certify))
+        certify=bool(certify), cert_k=int(cert_k))
     out_shape = (
         jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),   # x_hi
         jax.ShapeDtypeStruct((2, 2, Nx, N), jnp.float32),   # x_lo

@@ -239,6 +239,65 @@ def main(argv=None) -> int:
          note="cg_solve_sharded_fused on a 1x1 mesh (in-kernel dots); add "
               "~2-4 us ICI collectives on a real pod")
 
+    # ---- full per-shard MD force step (round-4 verdict item 5) ----
+    # force_halo_fused (chi' + fermion force + staple force as ONE kernel
+    # on the width-4-extended block) vs the jnp composite a sharded MD
+    # step otherwise pays (eo.hop stencils + autodiff fermion force +
+    # staple sum), both through shard_map on a 1x1 mesh -- the identical
+    # per-shard program of an rx x rt pod, minus cross-chip wire time.
+    # Chained as MD-like half-steps (th += eps * F) so n applications
+    # depend serially, slope-timed.
+    from schwingermodel_tpu.config import (
+        CGParams as _CGP, HMCParams as _HMCP, LatticeParams as _LP,
+    )
+    from schwingermodel_tpu.models.schwinger import SchwingerModel
+    from schwingermodel_tpu.ops import gauge as gops
+    from schwingermodel_tpu.parallel.sharded import sharded_model
+
+    beta = 4.0
+    model = SchwingerModel(
+        lattice=_LP(Nx=Nx, Nt=2 * Nth, real_dtype="float32"),
+        hmc=_HMCP(beta=beta, m0=m0, even_odd=True,
+                  cg=_CGP(tol=1e-6, max_iter=2000)))
+    inner = sharded_model(model)
+    psi0 = jax.lax.complex(
+        jnp.asarray(rng.normal(size=(2, Nx, Nth)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, Nx, Nth)), jnp.float32))
+
+    def make_force(n, fused):
+        def run(th, ps):
+            def body(th, _):
+                ops = inner.eo_ops(th)
+                if fused:
+                    F = ph2.force_halo_fused(
+                        inner.geom, ops.Uf, m0, ps, beta,
+                        interpret=interpret)
+                else:
+                    chi_p = ops.dhat_dag(ps)
+                    F = eo.eo_fermion_force(
+                        inner.fermion_links, inner.geom, m0, th, ps, chi_p)
+                    F = F + gops.gauge_force(inner.geom, inner.links(th),
+                                             beta)
+                return th + jnp.float32(1e-6) * F, None
+            th, _ = jax.lax.scan(body, th, None, length=n)
+            return jnp.sum(th)
+
+        spec = P(None, "x", "t")
+        return jax.jit(jax.shard_map(
+            run, mesh=mesh, in_specs=(spec, spec), out_specs=P(),
+            check_vma=False))
+
+    nf1, nf2 = (3, 10) if interpret else (200, 3200)
+    s_fjnp = slope(lambda n: make_force(n, False), nf1, nf2, theta, psi0)
+    emit("sharded_force_jnp_us", s_fjnp * 1e6, "us/step",
+         note="per-shard MD force (chi' + fermion + staple), jnp "
+              "composite under shard_map on a 1x1 mesh")
+    s_ffus = slope(lambda n: make_force(n, True), nf1, nf2, theta, psi0)
+    emit("sharded_force_fused_us", s_ffus * 1e6, "us/step",
+         speedup_vs_jnp=round(s_fjnp / s_ffus, 2),
+         note="force_halo_fused: ONE kernel per shard; add ~2-4 us ICI "
+              "halo ppermutes on a real pod")
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)

@@ -547,3 +547,79 @@ def test_df_cg_fallback_on_device(rng):
         r = _np_eo_normal(U, x128[c], m0) - phi_h[c]
         rel = np.linalg.norm(r.ravel()) / np.linalg.norm(phi_h[c].ravel())
         assert rel < 1e-10, (c, rel)
+
+
+def test_depth_gated_force_certification_on_device(rng):
+    """Depth-gated df certification of force-tolerance solves
+    (cg.certify_forces; pallas_df cert_k): on a deep recursion (an
+    eigenvalue-crossing mass + 5e-2, hundreds of f32 iterations) the
+    certify=False solve with the default cert_k=192 must return a
+    solution whose TRUE residual (independent numpy f64 oracle) meets
+    the force tolerance -- the pure-trusted exit (cert_k=max_iter, the
+    pre-round-5 behavior) drifts past it (measured 3.9e-7 on a
+    claimed-1e-8 32x32 near-critical solve). One-sided contract: gated
+    true residual <= tol and <= the trusted exit's."""
+    from schwingermodel_tpu.ops import pallas_traj as pt
+    from schwingermodel_tpu.ops import pallas_df as pdf
+
+    C, Nx, Nt, Nth = 2, 8, 8, 4
+    theta = _thetas(rng, C)
+    th_h = np.asarray(theta, np.float64)
+
+    U0 = _np_links(th_h[0], Nt)
+    dim = 2 * Nx * Nt
+    cols = np.empty((dim, dim), np.complex128)
+    basis = np.eye(dim, dtype=np.complex128)
+    for j in range(dim):
+        cols[:, j] = dirac_ref(
+            U0, basis[:, j].reshape(2, Nx, Nt), -2.0).reshape(-1)
+    lam = np.linalg.eigvals(cols)
+    real = np.sort(lam[np.abs(lam.imag) < 1e-9].real)
+    m0s = -2.0 - real
+    sel = m0s[(m0s > -1.0) & (m0s < 0.5)]
+    assert len(sel) > 0
+    m0 = float(sel[0]) + 5e-2
+    tol = 1e-8
+
+    model = SchwingerModel(
+        lattice=LatticeParams(Nx=Nx, Nt=Nt, real_dtype="float32"),
+        hmc=HMCParams(beta=2.0, m0=m0, even_odd=True,
+                      cg=CGParams(tol=tol, max_iter=8000, refine=True,
+                                  refine_impl="dfloat")))
+    v = _spinor(rng, (C, 2, Nx, Nth))
+
+    @jax.jit
+    def go(th, vv):
+        phi = jax.vmap(lambda t, w: model.eo_ops(t).dhat(w))(th, vv)
+        E, O = pt.pack_chains(model.geom, th)
+        phi_p = pt.pack_even(phi)
+        gated = pdf.solve_refined_fused(
+            E, O, phi_p, phi_p, m0=m0, tol=tol, tau=1e-5,
+            max_iter=8000, max_outer=12, Nth=Nth, certify=False,
+            cert_k=192, df_fallback=True)
+        trusted = pdf.solve_refined_fused(
+            E, O, phi_p, phi_p, m0=m0, tol=tol, tau=1e-5,
+            max_iter=8000, max_outer=12, Nth=Nth, certify=False,
+            cert_k=8000, df_fallback=False)
+        return (phi,
+                pt.unpack_even(gated.x_hi, C), pt.unpack_even(gated.x_lo, C),
+                gated.converged, gated.iters,
+                pt.unpack_even(trusted.x_hi, C),
+                pt.unpack_even(trusted.x_lo, C), trusted.iters)
+
+    phi, gh, gl, gconv, git, th_x, tl, tit = go(theta, v)
+    assert bool(jnp.all(gconv)), np.asarray(gconv)
+    # the gate must actually have engaged on the ill chain
+    assert int(np.asarray(git)[0]) > 192, np.asarray(git)
+    g128 = to_host_c(gh) + to_host_c(gl)
+    t128 = to_host_c(th_x) + to_host_c(tl)
+    phi_h = to_host_c(phi)
+    for c in range(C):
+        U = _np_links(th_h[c], Nt)
+        bn = np.linalg.norm(phi_h[c].ravel())
+        rg = np.linalg.norm(
+            (_np_eo_normal(U, g128[c], m0) - phi_h[c]).ravel()) / bn
+        rt = np.linalg.norm(
+            (_np_eo_normal(U, t128[c], m0) - phi_h[c]).ravel()) / bn
+        assert rg < tol, (c, rg)
+        assert rg <= rt * 1.01, (c, rg, rt)
